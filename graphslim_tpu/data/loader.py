@@ -1,0 +1,165 @@
+"""Dataset loading: registry of specs, splits, transforms, inductive views.
+
+Replaces reference ``get_dataset``/``TransAndInd``/``splits``
+(``graphslim/dataset/loader.py:39-230``, ``dataset/utils.py:97-133``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from graphslim_tpu import graph as G
+from graphslim_tpu.data import ingest, synthetic
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetSpec:
+    """Static profile of a dataset (drives both synthesis and policy)."""
+
+    name: str
+    n_nodes: int
+    n_feat: int
+    nclass: int
+    avg_degree: float
+    homophily: float
+    transform: str       # 'row_norm' | 'standardize' | 'none'
+    default_setting: str  # forced trans/ind per reference config.py:223-225
+    split: str = "fixed"  # default split style
+    metric: str = "accuracy"
+
+
+# Scales follow the reference's dataset table (efficiency.md:123-131 and
+# PyG dataset cards); homophily/degree approximate the public statistics.
+_SPECS = [
+    DatasetSpec("synth-small", 600, 32, 4, 6.0, 0.8, "row_norm", "trans",
+                "random"),
+    DatasetSpec("synth-ind-small", 800, 48, 5, 6.0, 0.75, "standardize",
+                "ind", "random"),
+    DatasetSpec("cora", 2708, 1433, 7, 3.9, 0.81, "row_norm", "trans"),
+    DatasetSpec("citeseer", 3327, 3703, 6, 2.7, 0.74, "row_norm", "trans"),
+    DatasetSpec("pubmed", 19717, 500, 3, 4.5, 0.80, "row_norm", "trans"),
+    DatasetSpec("photo", 7650, 745, 8, 31.1, 0.83, "row_norm", "trans",
+                "random"),
+    DatasetSpec("computers", 13752, 767, 10, 35.8, 0.78, "row_norm",
+                "trans", "random"),
+    DatasetSpec("cs", 18333, 6805, 15, 8.9, 0.81, "row_norm", "trans",
+                "random"),
+    DatasetSpec("physics", 34493, 8415, 5, 14.4, 0.93, "row_norm", "trans",
+                "random"),
+    DatasetSpec("dblp", 17716, 1639, 4, 6.0, 0.83, "row_norm", "trans",
+                "random"),
+    DatasetSpec("ogbn-arxiv", 169343, 128, 40, 13.7, 0.65, "standardize",
+                "trans"),
+    DatasetSpec("flickr", 89250, 500, 7, 10.0, 0.32, "standardize", "ind"),
+    DatasetSpec("reddit", 232965, 602, 41, 99.6, 0.76, "standardize",
+                "ind"),
+    DatasetSpec("yelp", 45954, 32, 2, 167.0, 0.77, "standardize", "ind",
+                metric="f1_macro"),
+    DatasetSpec("amazon", 11944, 25, 2, 700.0, 0.65, "standardize", "ind",
+                metric="f1_macro"),
+]
+
+DATASET_SPECS = {s.name: s for s in _SPECS}
+
+
+def normalize_name(name: str) -> str:
+    """Name normalization matching reference ``loader.py:41-50``."""
+    key = name.lower().replace("-", "").replace("_", "")
+    for canonical in DATASET_SPECS:
+        if canonical.lower().replace("-", "").replace("_", "") == key:
+            return canonical
+    raise ValueError(f"Dataset name not recognized: {name!r}")
+
+
+def _make_splits(labels: np.ndarray, nclass: int, split: str,
+                 rng: np.random.Generator
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Class-wise splits (reference ``dataset/utils.py:97-133``):
+
+    * ``random``: 20 train / 30 val / rest test per class
+    * ``few``:     5 train /  5 val / rest test per class
+    * ``fixed``:  80% / 10% / 10% per class
+    """
+    train, val, test = [], [], []
+    for c in range(nclass):
+        idx = np.flatnonzero(labels == c)
+        idx = rng.permutation(idx)
+        if split == "random":
+            a, b = 20, 50
+        elif split == "few":
+            a, b = 5, 10
+        else:  # fixed
+            a = int(idx.shape[0] * 0.8)
+            b = int(idx.shape[0] * 0.9)
+        train.append(idx[:a])
+        val.append(idx[a:b])
+        test.append(idx[b:])
+    return (np.sort(np.concatenate(train)), np.sort(np.concatenate(val)),
+            np.sort(np.concatenate(test)))
+
+
+def load(name: str, setting: Optional[str] = None, split: Optional[str]
+         = None, seed: int = 0, data_dir: Optional[str] = None,
+         pre_norm: bool = False) -> G.Dataset:
+    """Load (or synthesize) a dataset and build all views.
+
+    ``data_dir`` pointing at real GraphSAINT-format files
+    (``adj_full.npz``/``feats.npy``/``class_map.json``/``role.json``) or a
+    generic ``{name}.npz`` takes precedence; otherwise the deterministic
+    synthetic twin is generated.  ``pre_norm`` applies the spec's feature
+    transform (row-normalize / standardize) like the reference's
+    ``TransAndInd`` (``loader.py:113-121``).
+    """
+    name = normalize_name(name)
+    spec = DATASET_SPECS[name]
+    setting = setting or spec.default_setting
+    split = split or spec.split
+
+    loaded = ingest.try_load(name, data_dir) if data_dir else None
+    role = None
+    if loaded is not None:
+        edge_index, feat_np, labels_np, role = loaded
+        nclass = int(labels_np.max()) + 1
+    else:
+        edge_index, feat_np, labels_np = synthetic.generate(
+            spec.n_nodes, spec.n_feat, spec.nclass, spec.avg_degree,
+            spec.homophily, seed=hash(name) % (2 ** 31))
+        nclass = spec.nclass
+
+    n = feat_np.shape[0]
+    rng = np.random.default_rng(seed)
+    if role is not None:  # GraphSAINT role.json split
+        idx_train = np.sort(np.asarray(role["tr"]))
+        idx_val = np.sort(np.asarray(role["va"]))
+        idx_test = np.sort(np.asarray(role["te"]))
+    else:
+        idx_train, idx_val, idx_test = _make_splits(
+            labels_np, nclass, split, rng)
+
+    adj = G.from_edge_index(edge_index, n, symmetrize=True)
+    feat = jnp.asarray(feat_np, dtype=jnp.float32)
+    if pre_norm or spec.transform != "none":
+        if spec.transform == "standardize":
+            feat = G.standardize(feat, jnp.asarray(idx_train))
+        elif spec.transform == "row_norm":
+            feat = G.row_normalize(feat)
+
+    labels = jnp.asarray(labels_np, dtype=jnp.int32)
+    ds = G.Dataset(
+        name=name, feat=feat, labels=labels, adj=adj,
+        idx_train=idx_train, idx_val=idx_val, idx_test=idx_test,
+        nclass=nclass, setting=setting)
+
+    if setting == "ind":
+        # Induced train/test subgraphs (reference loader.py:125-135).
+        ds.feat_train = jnp.take(feat, jnp.asarray(idx_train), axis=0)
+        ds.labels_train = jnp.take(labels, jnp.asarray(idx_train))
+        ds.adj_train = G.submatrix(adj, idx_train)
+        ds.feat_test = jnp.take(feat, jnp.asarray(idx_test), axis=0)
+        ds.labels_test = jnp.take(labels, jnp.asarray(idx_test))
+        ds.adj_test = G.submatrix(adj, idx_test)
+    return ds

@@ -1,0 +1,86 @@
+"""Deterministic synthetic graph generation.
+
+Zero-egress stand-ins for the reference's downloaded datasets
+(reference ``graphslim/dataset/loader.py:39-97``).  Each generator is a
+seeded degree-corrected stochastic block model with class-informative
+features, so GNN training, reduction and evaluation behave like on the real
+data (homophilous structure, learnable features, power-law degrees).
+
+Generation is host-side NumPy — it runs once at load time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def generate(n_nodes: int, n_feat: int, nclass: int, avg_degree: float,
+             homophily: float, seed: int, feature_noise: float = 1.0,
+             degree_power: float = 0.9,
+             class_skew: float = 0.3) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray]:
+    """Return ``(edge_index [2,E], feat [n,d] float32, labels [n] int32)``.
+
+    * labels: Zipf-skewed class sizes (``class_skew`` controls imbalance,
+      mirroring e.g. ogbn-arxiv's skewed class histogram).
+    * degrees: lognormal (power-law-ish tail) scaled to ``avg_degree``.
+    * edges: each endpoint slot connects within-class with probability
+      ``homophily``, uniformly otherwise (degree-corrected sampling).
+    * features: per-class centers in a latent space projected through a
+      random matrix + one hop of structural mixing so features and
+      structure are correlated like in citation graphs.
+    """
+    rng = np.random.default_rng(seed)
+
+    # --- labels ---------------------------------------------------------
+    weights = (1.0 / np.arange(1, nclass + 1) ** class_skew)
+    weights /= weights.sum()
+    labels = rng.choice(nclass, size=n_nodes, p=weights).astype(np.int32)
+
+    # --- degrees --------------------------------------------------------
+    raw = rng.lognormal(mean=0.0, sigma=degree_power, size=n_nodes)
+    deg = np.maximum((raw / raw.mean() * avg_degree).astype(np.int64), 1)
+
+    # --- per-class node pools ------------------------------------------
+    class_nodes = [np.flatnonzero(labels == c) for c in range(nclass)]
+    # degree-proportional sampling within a class
+    class_probs = []
+    for c in range(nclass):
+        nodes = class_nodes[c]
+        p = deg[nodes].astype(np.float64)
+        class_probs.append(p / p.sum() if p.sum() > 0 else None)
+    all_probs = deg.astype(np.float64) / deg.sum()
+
+    # --- edges ----------------------------------------------------------
+    src = np.repeat(np.arange(n_nodes), deg)
+    same = rng.random(src.shape[0]) < homophily
+    dst = np.empty_like(src)
+    # within-class endpoints, drawn per class in bulk
+    for c in range(nclass):
+        sel = same & (labels[src] == c)
+        cnt = int(sel.sum())
+        if cnt and class_nodes[c].size:
+            dst[sel] = rng.choice(class_nodes[c], size=cnt,
+                                  p=class_probs[c])
+        elif cnt:
+            dst[sel] = rng.choice(n_nodes, size=cnt, p=all_probs)
+    n_rand = int((~same).sum())
+    dst[~same] = rng.choice(n_nodes, size=n_rand, p=all_probs)
+    keep = src != dst
+    edge_index = np.stack([src[keep], dst[keep]])
+
+    # --- features -------------------------------------------------------
+    latent_dim = min(max(nclass * 4, 16), n_feat)
+    centers = rng.normal(size=(nclass, latent_dim)) * 2.0
+    z = centers[labels] + rng.normal(size=(n_nodes, latent_dim)) * \
+        feature_noise
+    proj = rng.normal(size=(latent_dim, n_feat)) / np.sqrt(latent_dim)
+    feat = (z @ proj).astype(np.float32)
+    # one hop of structural smoothing (cheap CSR-free mix)
+    mix = np.zeros_like(feat)
+    np.add.at(mix, edge_index[0], feat[edge_index[1]])
+    deg_out = np.zeros(n_nodes)
+    np.add.at(deg_out, edge_index[0], 1.0)
+    mix /= np.maximum(deg_out, 1.0)[:, None]
+    feat = 0.7 * feat + 0.3 * mix.astype(np.float32)
+    return edge_index, feat, labels
