@@ -1,0 +1,167 @@
+"""Unified jit-compiled GNN trainer.
+
+Re-design of reference ``BaseGNN.fit_with_val/test/predict``
+(``graphslim/models/base.py:80-225``).  The reference runs a 300–600
+iteration Python loop with a full-graph validation pass per iteration; here
+the whole training run is ONE ``lax.scan`` under ``jit`` — and multi-seed
+evaluation (the reference's 10× Python repeat, ``eval_agent.py:275-283``)
+is a ``vmap`` over the init key.
+
+Semantics preserved:
+* Adam with torch-style coupled weight decay (wd added to grads before the
+  moment updates), lr ×0.1 at the halfway epoch when lr > 1e-3
+  (``base.py:152-155``).
+* Per-iteration validation on a (possibly different) full graph; best
+  weights by validation metric are returned (``base.py:170-187``).
+* Loss select: NLL for hard labels, soft cross-entropy/KLD for 2-D soft
+  labels, MSE optional (``base.py:117-131``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from graphslim_tpu import graph as G
+from graphslim_tpu import utils
+from graphslim_tpu.models.base import GNNModel
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    epochs: int = 300
+    lr: float = 0.01
+    weight_decay: float = 5e-4
+    metric: str = "accuracy"
+    loss: str = "nll"  # 'nll' | 'soft' | 'mse'
+    dropout_in_train: bool = True
+
+
+class Batch(dict):
+    """Tiny helper so call sites read fit(train=..., val=...)."""
+
+
+def prepare_adj(adj: Any) -> Any:
+    """GCN-normalize any adjacency form (outside jit: may change nnz)."""
+    if adj is None:
+        return None
+    if isinstance(adj, G.SparseAdj):
+        return G.gcn_norm(adj)
+    return G.normalize_adj_dense(jnp.asarray(adj))
+
+
+def _loss_fn(cfg: TrainConfig, log_probs, y, idx):
+    if idx is not None:
+        log_probs = jnp.take(log_probs, idx, axis=0)
+    if cfg.loss == "soft" or (hasattr(y, "ndim") and y.ndim == 2):
+        return utils.soft_ce_loss(log_probs, y)
+    if cfg.loss == "mse":
+        # Reference applies MSE directly to the log-softmax output
+        # (``base.py:121-124``).
+        return jnp.mean((log_probs - y) ** 2)
+    return utils.nll_loss(log_probs, y)
+
+
+def _hashable(model: GNNModel):
+    return (type(model).__name__, model.cfg)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_fit(model_key, model_type, model_cfg, cfg: TrainConfig):
+    model = model_type(model_cfg)
+    metric = utils.metric_fn(cfg.metric, model_cfg.nclass)
+    half = cfg.epochs // 2
+
+    def fit(key, params0, tx, tadj, ty, tidx, vx, vadj, vy, vidx):
+        opt = optax.chain(
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.scale_by_adam(),
+        )
+        opt_state = opt.init(params0)
+
+        def epoch(carry, i):
+            params, opt_state, best_acc, best_params, key = carry
+            key, dk = jax.random.split(key)
+
+            def loss_of(p):
+                out = model.apply(p, tx, tadj, training=True,
+                                  key=dk if cfg.dropout_in_train else None)
+                return _loss_fn(cfg, out, ty, tidx)
+
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, new_opt_state = opt.update(grads, opt_state, params)
+            lr_t = jnp.where((i >= half) & (cfg.lr > 1e-3),
+                             cfg.lr * 0.1, cfg.lr)
+            params = jax.tree.map(lambda p, u: p - lr_t * u, params,
+                                  updates)
+
+            val_out = model.apply(params, vx, vadj, training=False)
+            if vidx is not None:
+                val_out = jnp.take(val_out, vidx, axis=0)
+            acc = metric(val_out, vy)
+            better = acc > best_acc
+            best_acc = jnp.where(better, acc, best_acc)
+            best_params = jax.tree.map(
+                lambda new, old: jnp.where(better, new, old), params,
+                best_params)
+            return (params, new_opt_state, best_acc, best_params, key), loss
+
+        init = (params0, opt_state, jnp.float32(-1.0), params0, key)
+        (params, _, best_acc, best_params, _), losses = jax.lax.scan(
+            epoch, init, jnp.arange(cfg.epochs))
+        return best_params, best_acc, losses
+
+    return jax.jit(fit)
+
+
+def fit_with_val(model: GNNModel, key: jax.Array, *,
+                 train: tuple, val: tuple, cfg: TrainConfig,
+                 params0: Optional[dict] = None):
+    """Train with per-epoch validation; return (best_params, best_val).
+
+    ``train``/``val`` are ``(x, adj_normalized, y, idx_or_None)`` tuples.
+    Adjacencies must already be normalized (use :func:`prepare_adj`); this
+    keeps nnz-changing work out of jit and lets callers cache it.
+    """
+    tx, tadj, ty, tidx = train
+    vx, vadj, vy, vidx = val
+    init_key, run_key = jax.random.split(key)
+    if params0 is None:
+        params0 = model.init(init_key)
+    fit = _build_fit(None, type(model), model.cfg, cfg)
+    best_params, best_acc, losses = fit(
+        run_key, params0, tx, tadj, ty, tidx, vx, vadj, vy, vidx)
+    return best_params, best_acc, losses
+
+
+def evaluate(model: GNNModel, params: dict, x, adj_norm, y,
+             idx=None, metric: str = "accuracy") -> jax.Array:
+    """Metric of model predictions on (x, adj) at rows ``idx``."""
+    out = model.apply(params, x, adj_norm, training=False)
+    if idx is not None:
+        out = jnp.take(out, idx, axis=0)
+    return utils.metric_fn(metric, model.cfg.nclass)(out, y)
+
+
+def fit_multi_seed(model: GNNModel, keys: jax.Array, *, train, val,
+                   cfg: TrainConfig):
+    """vmapped multi-seed training: returns stacked (params, best_accs).
+
+    Replaces the reference's ``run_eval``× Python loop
+    (``eval_agent.py:275-283``) with one compiled program.
+    """
+    tx, tadj, ty, tidx = train
+    vx, vadj, vy, vidx = val
+    fit = _build_fit(None, type(model), model.cfg, cfg)
+
+    def one(key):
+        ik, rk = jax.random.split(key)
+        params0 = model.init(ik)
+        return fit(rk, params0, tx, tadj, ty, tidx, vx, vadj, vy, vidx)
+
+    return jax.vmap(one)(keys)
