@@ -159,6 +159,9 @@ def load(name: str, setting: Optional[str] = None, split: Optional[str]
         ds.feat_train = jnp.take(feat, jnp.asarray(idx_train), axis=0)
         ds.labels_train = jnp.take(labels, jnp.asarray(idx_train))
         ds.adj_train = G.submatrix(adj, idx_train)
+        ds.feat_val = jnp.take(feat, jnp.asarray(idx_val), axis=0)
+        ds.labels_val = jnp.take(labels, jnp.asarray(idx_val))
+        ds.adj_val = G.submatrix(adj, idx_val)
         ds.feat_test = jnp.take(feat, jnp.asarray(idx_test), axis=0)
         ds.labels_test = jnp.take(labels, jnp.asarray(idx_test))
         ds.adj_test = G.submatrix(adj, idx_test)

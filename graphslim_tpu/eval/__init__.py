@@ -1,0 +1,7 @@
+"""Evaluation: downstream-GNN accuracy, cross-arch grids, NAS, properties.
+
+Replaces reference ``graphslim/evaluation/`` (``eval_agent.py``,
+``nas_eval.py``, ``graph_property.py``, ``utils.py``).
+"""
+
+from graphslim_tpu.eval.evaluator import Evaluator

@@ -1,0 +1,168 @@
+"""Evaluator: train a fresh GNN on the reduced graph, test on the original.
+
+Re-design of reference ``Evaluator`` (``evaluation/eval_agent.py:21-402``):
+
+* ``test``   — one seeded run (``eval_agent.py:159-232``)
+* ``evaluate`` — the reference's 10× seeded Python repeat
+  (``eval_agent.py:234-291``) becomes ONE vmapped compiled program that
+  returns mean ± std.
+* ``train_cross`` — cross-architecture evaluation over the model zoo
+  (``eval_agent.py:55-157``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphslim_tpu import graph as G
+from graphslim_tpu import models as M
+from graphslim_tpu.data.artifacts import sparsify
+
+log = logging.getLogger("graphslim_tpu")
+
+
+def _dense_to_sparse(adj: jax.Array) -> G.SparseAdj:
+    a = np.asarray(adj)
+    row, col = np.nonzero(a)
+    return G.from_edge_index(np.stack([row, col]), a.shape[0],
+                             edge_weight=a[row, col], dedup=False)
+
+
+class Evaluator:
+    """Evaluation agent bound to (dataset, args)."""
+
+    def __init__(self, data: G.Dataset, args):
+        self.data = data
+        self.args = args
+
+    # ------------------------------------------------------------------
+    def _eval_model(self, model_type: str, nfeat: int):
+        a = self.args
+        cfg = M.ModelConfig(
+            nfeat=nfeat, nhid=a.hidden, nclass=self.data.nclass,
+            nlayers=a.nlayers, dropout=0.0,   # eval mode: dropout=0
+            alpha=a.alpha, ntrans=1,          # eval mode forces ntrans=1
+            activation=a.activation)
+        return M.get_model(model_type, cfg)
+
+    def _train_tuple(self, reduced: G.Reduced, model_type: str):
+        """Normalized synthetic training batch (model-aware adj form)."""
+        red = sparsify(reduced, model_type, self.args.method,
+                       threshold=self.args.threshold)
+        adj = red.adj
+        if model_type == "GAT":
+            if not isinstance(adj, G.SparseAdj):
+                adj = _dense_to_sparse(red.dense_adj())
+            adj_n = G.gcn_norm(adj)
+        elif adj is None:
+            adj_n = None
+        elif isinstance(adj, G.SparseAdj):
+            adj_n = G.gcn_norm(adj)
+        else:
+            adj_n = G.normalize_adj_dense(jnp.asarray(adj))
+        return red.feat, adj_n, red.labels
+
+    def _val_tuple(self, model_type: str):
+        d = self.data
+        if d.setting == "ind":
+            adj = G.gcn_norm(d.adj_val)
+            return (d.feat_val, adj, d.labels_val, None)
+        adj = d.adj_norm()
+        return (d.feat, adj, d.labels[jnp.asarray(d.idx_val)],
+                jnp.asarray(d.idx_val))
+
+    def _test_tuple(self, model_type: str):
+        d = self.data
+        if d.setting == "ind":
+            adj = G.gcn_norm(d.adj_test)
+            return (d.feat_test, adj, d.labels_test, None)
+        adj = d.adj_norm()
+        return (d.feat, adj, d.labels[jnp.asarray(d.idx_test)],
+                jnp.asarray(d.idx_test))
+
+    # ------------------------------------------------------------------
+    def test(self, reduced: G.Reduced, model_type: str = "GCN",
+             seed: int = 0, verbose: bool = False) -> float:
+        """One seeded evaluation run (reference ``eval_agent.py:159-232``)."""
+        accs = self.evaluate(reduced, model_type, runs=1, seed=seed,
+                             verbose=verbose)
+        return float(accs[0][0])
+
+    def evaluate(self, reduced: G.Reduced, model_type: str = "GCN",
+                 runs: Optional[int] = None, seed: Optional[int] = None,
+                 verbose: bool = False):
+        """``runs``× seeded eval via one vmapped program → (mean, std)."""
+        a = self.args
+        runs = runs if runs is not None else a.run_eval
+        seed = seed if seed is not None else a.seed
+        model = self._eval_model(model_type, reduced.feat.shape[-1])
+        tx, tadj, ty = self._train_tuple(reduced, model_type)
+        val = self._val_tuple(model_type)
+        test = self._test_tuple(model_type)
+        cfg = M.TrainConfig(epochs=a.eval_epochs, lr=a.lr or 0.01,
+                            weight_decay=5e-4, metric=a.metric)
+        keys = jax.random.split(jax.random.key(seed), runs)
+
+        def one(key):
+            ik, rk = jax.random.split(key)
+            params0 = model.init(ik)
+            from graphslim_tpu.models.trainer import _build_fit
+            fit = _build_fit(None, type(model), model.cfg, cfg)
+            best_params, best_val, _ = fit(rk, params0, tx, tadj, ty, None,
+                                           *val)
+            acc = M.evaluate(model, best_params, test[0], test[1], test[2],
+                             test[3], metric=a.metric)
+            return acc, best_val
+
+        accs, best_vals = jax.vmap(one)(keys)
+        accs = np.asarray(accs)
+        mean, std = float(accs.mean()), float(accs.std())
+        log.info("eval[%s] %d runs: %.4f ± %.4f", model_type, runs, mean,
+                 std)
+        if verbose:
+            print(f"eval[{model_type}] {runs} runs: "
+                  f"{mean * 100:.2f} ± {std * 100:.2f}")
+        return (mean, std), accs
+
+    # ------------------------------------------------------------------
+    def train_cross(self, reduced: G.Reduced,
+                    model_types: Optional[list[str]] = None,
+                    verbose: bool = False) -> dict[str, tuple]:
+        """Cross-architecture table (reference ``eval_agent.py:55-157``)."""
+        model_types = model_types or ["MLP", "GCN", "SGC", "APPNP",
+                                      "Cheby", "GraphSage", "GAT"]
+        out = {}
+        for mt in model_types:
+            try:
+                out[mt], _ = self.evaluate(reduced, mt, verbose=verbose)
+            except Exception as e:  # GAT on empty sparse graphs etc.
+                log.warning("train_cross[%s] failed: %s", mt, e)
+                out[mt] = (float("nan"), float("nan"))
+        return out
+
+    def nas_evaluate(self, reduced: G.Reduced, model,
+                     runs: int = 1, seed: int = 0) -> float:
+        """Validation-accuracy-only evaluation used by NAS
+        (reference ``eval_agent.py:352-402``)."""
+        a = self.args
+        tx, tadj, ty = self._train_tuple(reduced, "APPNP")
+        val = self._val_tuple("APPNP")
+        cfg = M.TrainConfig(epochs=a.eval_epochs, lr=a.lr or 0.01,
+                            weight_decay=5e-4, metric=a.metric)
+        keys = jax.random.split(jax.random.key(seed), runs)
+
+        def one(key):
+            ik, rk = jax.random.split(key)
+            from graphslim_tpu.models.trainer import _build_fit
+            fit = _build_fit(None, type(model), model.cfg, cfg)
+            _, best_val, _ = fit(rk, model.init(ik), tx, tadj, ty, None,
+                                 *val)
+            return best_val
+
+        return float(np.mean(np.asarray(jax.vmap(one)(keys))))

@@ -288,6 +288,9 @@ class Dataset:
     feat_train: Optional[jax.Array] = None
     labels_train: Optional[jax.Array] = None
     adj_train: Optional[SparseAdj] = None
+    feat_val: Optional[jax.Array] = None
+    labels_val: Optional[jax.Array] = None
+    adj_val: Optional[SparseAdj] = None
     feat_test: Optional[jax.Array] = None
     labels_test: Optional[jax.Array] = None
     adj_test: Optional[SparseAdj] = None
