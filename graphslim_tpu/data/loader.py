@@ -7,6 +7,7 @@ Replaces reference ``get_dataset``/``TransAndInd``/``splits``
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Optional
 
 import jax.numpy as jnp
@@ -125,9 +126,11 @@ def load(name: str, setting: Optional[str] = None, split: Optional[str]
         edge_index, feat_np, labels_np, role = loaded
         nclass = int(labels_np.max()) + 1
     else:
+        # Stable per-dataset seed (zlib.crc32, NOT the salted builtin hash)
+        # so the synthetic twin is identical across processes.
         edge_index, feat_np, labels_np = synthetic.generate(
             spec.n_nodes, spec.n_feat, spec.nclass, spec.avg_degree,
-            spec.homophily, seed=hash(name) % (2 ** 31))
+            spec.homophily, seed=zlib.crc32(name.encode()) % (2 ** 31))
         nclass = spec.nclass
 
     n = feat_np.shape[0]

@@ -1,0 +1,116 @@
+"""Node-partitioned distributed SpMM.
+
+The full graph's rows are sharded across the mesh; each device aggregates
+its own rows.  Two feature layouts:
+
+* ``replicated`` — features live on every device (small/medium graphs);
+  zero communication in the hot loop.
+* ``gather``      — features sharded by node; an ``all_gather`` over ICI
+  reassembles them before local aggregation (the simple halo-exchange
+  form; the ring-overlapped Pallas version is the perf-round upgrade).
+
+This is a new design — the reference is single-device only
+(SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from graphslim_tpu import graph as G
+
+
+class RowPartition(NamedTuple):
+    """Edge lists per shard, padded to a common length.
+
+    ``row_local[s, e]`` is the row index *within shard s*; padded slots
+    carry ``val = 0`` so they contribute nothing.
+    """
+
+    row_local: jax.Array   # [S, E_max] int32
+    col: jax.Array         # [S, E_max] int32 (global)
+    val: jax.Array         # [S, E_max] float32
+    rows_per_shard: int
+    n_rows: int
+
+
+def partition_rows(adj: G.SparseAdj, n_shards: int) -> RowPartition:
+    """Host-side contiguous row partition with per-shard edge padding."""
+    n = adj.n_rows
+    rows_per = -(-n // n_shards)
+    row = np.asarray(adj.row)
+    col = np.asarray(adj.col)
+    val = np.asarray(adj.values_or_ones())
+    indptr = np.asarray(adj.indptr)
+    counts = []
+    for s in range(n_shards):
+        lo = min(s * rows_per, n)
+        hi = min((s + 1) * rows_per, n)
+        counts.append(int(indptr[hi] - indptr[lo]))
+    e_max = max(max(counts), 1)
+    rl = np.zeros((n_shards, e_max), dtype=np.int32)
+    cl = np.zeros((n_shards, e_max), dtype=np.int32)
+    vl = np.zeros((n_shards, e_max), dtype=np.float32)
+    for s in range(n_shards):
+        lo = min(s * rows_per, n)
+        hi = min((s + 1) * rows_per, n)
+        a, b = int(indptr[lo]), int(indptr[hi])
+        m = b - a
+        rl[s, :m] = row[a:b] - lo
+        cl[s, :m] = col[a:b]
+        vl[s, :m] = val[a:b]
+    return RowPartition(jnp.asarray(rl), jnp.asarray(cl), jnp.asarray(vl),
+                        rows_per, n)
+
+
+def shard_spmm(mesh: Mesh, part: RowPartition, x: jax.Array,
+               mode: str = "replicated", axis: str = "data") -> jax.Array:
+    """Distributed A @ x.  Returns [S*rows_per, d] (crop to n_rows)."""
+    rows_per = part.rows_per_shard
+
+    if mode == "replicated":
+        x_spec = P()
+    else:
+        x_spec = P(axis)  # node-sharded features
+
+    def local(row_l, col, val, xs):
+        row_l, col, val = row_l[0], col[0], val[0]
+        if mode == "gather":
+            xs = jax.lax.all_gather(xs, axis, axis=0, tiled=True)
+        gathered = jnp.take(xs, col, axis=0) * val[:, None]
+        out = jax.ops.segment_sum(gathered, row_l,
+                                  num_segments=rows_per)
+        return out[None]
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), x_spec),
+        out_specs=P(axis))
+    n_shards = part.row_local.shape[0]
+    if mode == "gather":
+        pad = n_shards * rows_per - x.shape[0]
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, x.shape[-1]), x.dtype)])
+    out = fn(part.row_local, part.col, part.val, x)
+    return out.reshape(-1, x.shape[-1])[: part.n_rows]
+
+
+def sharded_graph_forward(mesh: Mesh, part: RowPartition, w_list,
+                          x: jax.Array, axis: str = "data") -> jax.Array:
+    """Multi-layer GCN-style forward with a sharded graph: per layer
+    X ← A @ (X W), relu between layers.  Used by the multi-chip dry run."""
+    h = x
+    for i, w in enumerate(w_list):
+        h = h @ w
+        h = shard_spmm(mesh, part, h, mode="replicated", axis=axis)
+        if i != len(w_list) - 1:
+            h = jax.nn.relu(h)
+    return h

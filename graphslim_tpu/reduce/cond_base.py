@@ -1,0 +1,294 @@
+"""Gradient-matching condensation engine (GCond family core).
+
+TPU-native re-design of reference ``graphslim/condensation/gcond_base.py``
++ ``condensation/utils.py:12-106``:
+
+* The reference's hottest loop — per-epoch Python iteration over
+  outer×classes with CPU NeighborSampler round trips
+  (``gcond_base.py:156-241``, SURVEY.md §3.1) — becomes ONE jitted
+  ``epoch_step``: ``lax.scan`` over outer iterations, ``lax.scan`` over
+  classes, on-device fixed-fanout sampling, nested ``jax.grad`` for the
+  ``create_graph=True`` double backward (``gcond_base.py:234``).
+* Model re-initialization per epoch happens inside jit from a fresh key.
+* ``match_loss``/``distance_wb`` semantics preserved exactly, including
+  the bias-gradient exclusion in the ``ours`` metric
+  (``condensation/utils.py:102-104``: 1-D gradients contribute 0).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graphslim_tpu import graph as G
+from graphslim_tpu import models as M
+from graphslim_tpu import utils
+from graphslim_tpu.data import save_reduced
+from graphslim_tpu.kernels.sample import neighbor_sample_block
+from graphslim_tpu.models.pge import PGE, PGEConfig
+from graphslim_tpu.reduce.base import Reducer, class_budgets
+
+log = logging.getLogger("graphslim_tpu")
+
+
+# ---------------------------------------------------------------------------
+# match_loss (reference condensation/utils.py:12-106)
+# ---------------------------------------------------------------------------
+
+def _flat(tree):
+    return jnp.concatenate([g.reshape(-1) for g in jax.tree.leaves(tree)])
+
+
+def match_loss(gw_syn, gw_real, metric: str) -> jax.Array:
+    if metric == "ours":
+        dis = 0.0
+        for gs, gr in zip(jax.tree.leaves(gw_syn),
+                          jax.tree.leaves(gw_real)):
+            if gs.ndim < 2:
+                continue  # 1-D (bias) grads excluded, utils.py:102-104
+            gs2 = gs.reshape(gs.shape[0], -1)
+            gr2 = gr.reshape(gr.shape[0], -1)
+            num = jnp.sum(gs2 * gr2, axis=-1)
+            den = (jnp.linalg.norm(gs2, axis=-1) *
+                   jnp.linalg.norm(gr2, axis=-1) + 1e-6)
+            dis = dis + jnp.sum(1.0 - num / den)
+        return dis
+    gs, gr = _flat(gw_syn), _flat(gw_real)
+    if metric == "mse":
+        return jnp.sum((gs - gr) ** 2)
+    if metric == "cos":
+        return 1.0 - jnp.sum(gs * gr) / (
+            jnp.linalg.norm(gs) * jnp.linalg.norm(gr) + 1e-6)
+    raise ValueError(f"unknown dis_metric {metric!r}")
+
+
+def fanouts_for(nlayers: int, dataset: str) -> list[int]:
+    """Reference fanout policy (``dataset/loader.py:197-211``)."""
+    if nlayers == 1:
+        return [15]
+    if nlayers == 2:
+        return [15, 8] if dataset in ("reddit", "flickr") else [10, 5]
+    return [15, 10, 5] + [5] * (nlayers - 3)
+
+
+def masked_nll(log_probs: jax.Array, labels: jax.Array,
+               mask: jax.Array) -> jax.Array:
+    ll = jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+    m = mask.astype(ll.dtype)
+    return -jnp.sum(ll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class CondensationBase(Reducer):
+    """Shared state for GCond/DosCond/±X/GCDM: budgets, syn params,
+    sampler tables, optimizers, checkpoint evaluation."""
+
+    save_output = False          # checkpoints handle persistence
+    with_structure = True        # False → adj_syn = I (±X variants)
+    sample_batch = 256           # reference NeighborSampler batch
+
+    def __init__(self, data: G.Dataset, args):
+        super().__init__(data, args)
+        labels_pool = data.labels_for_reduction()
+        self.budgets, labels_syn, self.class_ranges = class_budgets(
+            labels_pool, args.reduction_rate, absorb_remainder=True)
+        self.labels_syn = jnp.asarray(labels_syn)
+        self.n_syn = int(labels_syn.shape[0])
+        self.d = data.n_feat
+        self.nclass = data.nclass
+
+        # --- real-graph tensors (trans: full graph; ind: train subgraph,
+        #     reference gcond.py:22-26) --------------------------------
+        if data.setting == "ind":
+            self.features, adj_raw, self.labels_real = (
+                data.feat_train, data.adj_train, data.labels_train)
+            pool_base = np.arange(len(data.idx_train))
+            pool_labels = np.asarray(data.labels_train)
+        else:
+            self.features, adj_raw, self.labels_real = (
+                data.feat, data.adj, data.labels)
+            pool_base = np.asarray(data.idx_train)
+            pool_labels = np.asarray(data.labels)[pool_base]
+
+        # Normalized adjacency split into off-diagonal CSR + self values
+        # for the on-device sampler.
+        norm = G.gcn_norm(adj_raw)
+        row, col = np.asarray(norm.row), np.asarray(norm.col)
+        val = np.asarray(norm.val)
+        diag = row == col
+        self_vals = np.zeros(norm.n_rows, dtype=np.float32)
+        self_vals[row[diag]] = val[diag]
+        self.adj_off = G.from_edge_index(
+            np.stack([row[~diag], col[~diag]]), norm.n_rows,
+            edge_weight=val[~diag], dedup=False)
+        self.self_vals = jnp.asarray(self_vals)
+        self.adj_norm_full = norm
+
+        # --- per-class pools (padded) ---------------------------------
+        classes = list(self.budgets.keys())
+        classes.sort()
+        self.classes = classes
+        pools = [pool_base[pool_labels == c] for c in classes]
+        self.pool_counts = jnp.asarray([len(p) for p in pools],
+                                       dtype=jnp.int32)
+        max_n = max(len(p) for p in pools)
+        pool_pad = np.zeros((len(classes), max_n), dtype=np.int32)
+        for i, p in enumerate(pools):
+            pool_pad[i, :len(p)] = p
+        self.pools = jnp.asarray(pool_pad)
+        self.batch = int(min(self.sample_batch, max_n))
+
+        # class masks over synthetic rows, coeffs
+        cls_arr = np.asarray(labels_syn)
+        self.class_masks = jnp.asarray(
+            np.stack([cls_arr == c for c in classes]))
+        self.coeffs = jnp.asarray(
+            [self.budgets[c] / self.n_syn for c in classes],
+            dtype=jnp.float32)
+
+        # --- condense model + generators ------------------------------
+        self.model = M.get_model(args.condense_model, M.ModelConfig(
+            nfeat=self.d, nhid=args.hidden, nclass=data.nclass,
+            nlayers=args.nlayers, dropout=0.0, alpha=args.alpha,
+            ntrans=args.ntrans))
+        self.fanouts = tuple(fanouts_for(args.nlayers, data.name))
+        if self.with_structure:
+            self.pge = PGE(PGEConfig.for_dataset(
+                self.d, self.n_syn, data.name, args.reduction_rate))
+        else:
+            self.pge = None
+        self.opt_feat = optax.adam(args.lr_feat)
+        self.opt_pge = optax.adam(args.lr_adj)
+        self.opt_model = optax.adam(args.lr or 0.01)
+
+    # ------------------------------------------------------------------
+    def init_feat_syn(self, verbose: bool = False) -> jax.Array:
+        """Initialize synthetic features by running the ``args.init``
+        reducer (reference ``gcond_base.py:117-152``)."""
+        from graphslim_tpu.reduce.registry import create_reducer
+
+        init_args = self.args.replace(method=self.args.init)
+        agent = create_reducer(self.args.init, self.data, init_args)
+        reduced = agent.reduce(self.data, verbose=verbose)
+        feat = jnp.asarray(reduced.feat)
+        if feat.shape[0] != self.n_syn:
+            # budget rounding differs between coreset (no absorption) and
+            # condensation (absorption): pad by repetition / crop
+            reps = -(-self.n_syn // feat.shape[0])
+            feat = jnp.tile(feat, (reps, 1))[: self.n_syn]
+        return feat
+
+    # ------------------------------------------------------------------
+    # Jitted pieces
+    # ------------------------------------------------------------------
+    def _sample_class_block(self, key, class_idx):
+        """Sample a padded B-target block for one class."""
+        pool = self.pools[class_idx]
+        count = self.pool_counts[class_idx]
+        B = self.batch
+        k1, k2 = jax.random.split(key)
+        slot = jnp.arange(B, dtype=jnp.int32)
+        rand = jax.random.randint(k1, (B,), 0, jnp.maximum(count, 1))
+        pos = jnp.where(count <= B, jnp.minimum(slot, count - 1), rand)
+        targets = pool[pos]
+        valid = (slot < count) | (count > B)
+        block = neighbor_sample_block(
+            k2, self.adj_off.indptr, self.adj_off.col,
+            self.adj_off.values_or_ones(), self.self_vals, targets,
+            self.fanouts)
+        return block, targets, valid
+
+    def _real_class_grad(self, model_params, key, class_idx):
+        """Detached per-class real gradient from a sampled block."""
+        block, targets, valid = self._sample_class_block(key, class_idx)
+        feat_deep = jnp.take(self.features, block.node_ids[0], axis=0)
+        y = jnp.take(self.labels_real, targets)
+
+        def loss_of(p):
+            out = self.model.apply(p, feat_deep, block)
+            return masked_nll(out, y, valid)
+
+        return jax.lax.stop_gradient(jax.grad(loss_of)(model_params))
+
+    def _syn_class_grad(self, model_params, feat_syn, adj_syn_norm,
+                        class_mask):
+        """Per-class synthetic gradient (differentiable wrt feat/adj)."""
+        def loss_of(p):
+            out = self.model.apply(p, feat_syn, adj_syn_norm)
+            return masked_nll(out, self.labels_syn, class_mask)
+
+        return jax.grad(loss_of)(model_params)
+
+    def match_loss_total(self, model_params, feat_syn, adj_syn_norm, key):
+        """Σ_c coeff_c · match(gw_syn_c, gw_real_c) — scan over classes
+        (reference ``train_class``, ``gcond_base.py:156-241``)."""
+        keys = jax.random.split(key, len(self.classes))
+
+        def body(acc, inputs):
+            class_idx, k, mask, coeff = inputs
+            gw_real = self._real_class_grad(model_params, k, class_idx)
+            gw_syn = self._syn_class_grad(model_params, feat_syn,
+                                          adj_syn_norm, mask)
+            ml = match_loss(gw_syn, gw_real, self.args.dis_metric)
+            return acc + coeff * ml, None
+
+        idxs = jnp.arange(len(self.classes))
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0.0),
+            (idxs, keys, self.class_masks, self.coeffs))
+        return total
+
+    def syn_adj_norm(self, pge_params, feat_syn):
+        if not self.with_structure:
+            return G.normalize_adj_dense(
+                jnp.eye(self.n_syn, dtype=feat_syn.dtype), add_loops=False)
+        adj = self.pge.apply(pge_params, feat_syn)
+        return G.normalize_adj_dense(adj)
+
+    # ------------------------------------------------------------------
+    def intermediate_evaluation(self, feat_syn, adj_syn, best_val: float,
+                                it: int, loss_avg: float,
+                                verbose: bool = False) -> float:
+        """Checkpoint: run_inter_eval quick trainings on the current syn
+        graph; save best-by-val (reference ``gcond_base.py:287-324``)."""
+        from graphslim_tpu.eval import Evaluator
+
+        args = self.args
+        reduced = G.Reduced(
+            feat=jax.lax.stop_gradient(feat_syn),
+            adj=None if adj_syn is None else jax.lax.stop_gradient(adj_syn),
+            labels=self.labels_syn)
+        ev = Evaluator(self.data, args)
+        accs = []
+        for s in range(args.run_inter_eval):
+            model = ev._eval_model(args.eval_model, reduced.feat.shape[-1])
+            tx, tadj, ty = ev._train_tuple(reduced, args.eval_model)
+            val = ev._val_tuple(args.eval_model)
+            cfg = M.TrainConfig(epochs=args.eval_epochs,
+                                lr=args.lr or 0.01, weight_decay=5e-4,
+                                metric=args.metric)
+            _, bv, _ = M.fit_with_val(
+                model, jax.random.key(args.seed + s),
+                train=(tx, tadj, ty, None), val=val, cfg=cfg)
+            accs.append(float(bv))
+        mean_val = float(np.mean(accs))
+        log.info("checkpoint it=%d loss=%.4f val=%.4f (best %.4f)", it,
+                 loss_avg, mean_val, best_val)
+        if verbose:
+            print(f"[it {it}] loss {loss_avg:.4f} val {mean_val:.4f}")
+        if mean_val > best_val:
+            best_val = mean_val
+            save_reduced(reduced, args.save_path, args.method,
+                         self.data.name, args.reduction_rate, args.seed,
+                         attack=getattr(args, "attack", None))
+            self._best_reduced = reduced
+        return best_val
