@@ -177,14 +177,12 @@ class CondensationBase(Reducer):
         from graphslim_tpu.reduce.registry import create_reducer
 
         init_args = self.args.replace(method=self.args.init)
-        agent = create_reducer(self.args.init, self.data, init_args)
+        agent = create_reducer(self.args.init, self.data, init_args,
+                               labels_syn_override=np.asarray(
+                                   self.labels_syn))
         reduced = agent.reduce(self.data, verbose=verbose)
         feat = jnp.asarray(reduced.feat)
-        if feat.shape[0] != self.n_syn:
-            # budget rounding differs between coreset (no absorption) and
-            # condensation (absorption): pad by repetition / crop
-            reps = -(-self.n_syn // feat.shape[0])
-            feat = jnp.tile(feat, (reps, 1))[: self.n_syn]
+        assert feat.shape[0] == self.n_syn, (feat.shape, self.n_syn)
         return feat
 
     # ------------------------------------------------------------------

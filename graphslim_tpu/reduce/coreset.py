@@ -109,11 +109,21 @@ class CoreSetBase(Reducer):
     needs_model = False   # model-based variants train a GCN first
     use_agg = False       # aggregated-feature (Â²X) variants
 
-    def __init__(self, data, args):
+    def __init__(self, data, args, labels_syn_override=None):
         super().__init__(data, args)
         labels_pool = data.labels_for_reduction()
-        self.budgets, self.labels_syn, _ = class_budgets(
-            labels_pool, args.reduction_rate)
+        if labels_syn_override is not None:
+            # Condensation init path: selection sizes come from the
+            # caller's synthetic label budget.
+            ls = np.asarray(labels_syn_override)
+            classes, counts = np.unique(ls, return_counts=True)
+            self.budgets = dict(zip(classes.tolist(), counts.tolist()))
+            self.labels_syn = ls
+            self.labels_syn_override = ls
+        else:
+            self.budgets, self.labels_syn, _ = class_budgets(
+                labels_pool, args.reduction_rate)
+            self.labels_syn_override = None
         self.labels_pool = labels_pool
         # Pool = train split (global ids for trans, local for ind)
         if data.setting == "ind":
@@ -160,14 +170,25 @@ class CoreSetBase(Reducer):
 
     def _reduce(self, data: G.Dataset, verbose: bool) -> G.Reduced:
         embeds = self._embeddings(data, verbose)
-        sel_pool_positions = []
+        selected_by_class = {}
         for c, cnt in self.budgets.items():
             mask = self.labels_pool == c
             pool_c = self.pool_idx[mask]
+            cnt = min(int(cnt), len(pool_c))
             feats_c = jnp.take(embeds, jnp.asarray(pool_c), axis=0)
             local = self.select_class(feats_c, cnt, pool_c)
-            sel_pool_positions.append(pool_c[np.asarray(local)])
-        idx_selected = np.concatenate(sel_pool_positions)
+            selected_by_class[c] = pool_c[np.asarray(local)][:cnt]
+        if self.labels_syn_override is not None:
+            # Position-aligned with the imposed labels_syn ordering; short
+            # classes are padded by repetition.
+            ls = self.labels_syn_override
+            idx_selected = np.zeros(ls.shape[0], dtype=np.int64)
+            for c, sel in selected_by_class.items():
+                pos = np.flatnonzero(ls == c)
+                reps = -(-len(pos) // max(len(sel), 1))
+                idx_selected[pos] = np.tile(sel, reps)[: len(pos)]
+        else:
+            idx_selected = np.concatenate(list(selected_by_class.values()))
 
         if data.setting == "ind":
             feat_src, adj_src, labels_src = (data.feat_train,

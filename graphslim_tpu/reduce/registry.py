@@ -100,13 +100,23 @@ def list_methods(family: Optional[str] = None) -> list[str]:
                   if family is None or s.family == family)
 
 
-def create_reducer(method: str, data, args):
+def create_reducer(method: str, data, args, **kwargs):
     """Instantiate a reducer (lazy import; ``args.agg`` selects the
-    aggregated-features variant like the reference's ``--agg`` flag)."""
+    aggregated-features variant like the reference's ``--agg`` flag).
+
+    ``kwargs`` (e.g. ``labels_syn_override``) pass through to the reducer —
+    the way condensation imposes its label budget on its init reducer
+    (reference ``gcond_base.py:117-152``)."""
     spec = get_method_spec(method)
     mod = importlib.import_module(f"graphslim_tpu.reduce.{spec.module}")
     cls_name = spec.cls
     if getattr(args, "agg", False) and spec.agg_cls is not None:
         cls_name = spec.agg_cls
     cls = getattr(mod, cls_name)
-    return cls(data, args)
+    try:
+        return cls(data, args, **kwargs)
+    except TypeError:
+        if kwargs:
+            # reducer without override support (edge sparsifiers etc.)
+            return cls(data, args)
+        raise
