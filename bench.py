@@ -78,10 +78,11 @@ def main() -> None:
     step_s = (time.time() - t0) / n_steps
     match_steps_per_s = 1.0 / step_s
 
-    # --- SpMM edges/s ---------------------------------------------------
+    # --- SpMM edges/s (ELL fast layout) ---------------------------------
     adj = ds.adj_norm()
+    ell = ds.adj_norm_ell()
     x = ds.feat
-    spmm = jax.jit(adj.matmul)
+    spmm = jax.jit(ell.matmul)
     jax.block_until_ready(spmm(x))
     n_rep = 50
     t0 = time.time()

@@ -73,6 +73,8 @@ class Args:
     ratio: float = 0.8
     lr_eigenvec: float = 0.01
     gamma: float = 0.5
+    e1: int = 10                           # GDEM eigenvec steps
+    e2: int = 15                           # GDEM feat steps
     beta: float = 0.1
     coarsen_strategy: str = "greedy"
     no_buff: bool = False

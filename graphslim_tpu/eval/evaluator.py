@@ -68,12 +68,19 @@ class Evaluator:
             adj_n = G.normalize_adj_dense(jnp.asarray(adj))
         return red.feat, adj_n, red.labels
 
+    def _full_adj(self, model_type: str):
+        """Normalized full adjacency — ELL fast layout except for GAT
+        (which needs explicit edge lists for attention)."""
+        if model_type == "GAT":
+            return self.data.adj_norm()
+        return self.data.adj_norm_ell()
+
     def _val_tuple(self, model_type: str):
         d = self.data
         if d.setting == "ind":
             adj = G.gcn_norm(d.adj_val)
             return (d.feat_val, adj, d.labels_val, None)
-        adj = d.adj_norm()
+        adj = self._full_adj(model_type)
         return (d.feat, adj, d.labels[jnp.asarray(d.idx_val)],
                 jnp.asarray(d.idx_val))
 
@@ -82,7 +89,7 @@ class Evaluator:
         if d.setting == "ind":
             adj = G.gcn_norm(d.adj_test)
             return (d.feat_test, adj, d.labels_test, None)
-        adj = d.adj_norm()
+        adj = self._full_adj(model_type)
         return (d.feat, adj, d.labels[jnp.asarray(d.idx_test)],
                 jnp.asarray(d.idx_test))
 

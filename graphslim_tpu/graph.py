@@ -312,6 +312,14 @@ class Dataset:
             object.__setattr__(self, "_adj_norm", gcn_norm(self.adj))
         return self._adj_norm
 
+    def adj_norm_ell(self):
+        """Normalized adjacency in the degree-bucketed ELL fast layout
+        (scatter-free SpMM — kernels/ell.py); cached."""
+        if not hasattr(self, "_adj_norm_ell") or self._adj_norm_ell is None:
+            from graphslim_tpu.kernels.ell import ell_from_sparse
+            self._adj_norm_ell = ell_from_sparse(self.adj_norm())
+        return self._adj_norm_ell
+
     def train_graph(self) -> tuple[jax.Array, SparseAdj, jax.Array]:
         """(feat, adj, labels) that reducers should consume.
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from graphslim_tpu import graph as G
+from graphslim_tpu.kernels.ell import EllAdj
 from graphslim_tpu.kernels.sample import BlockSample
 from graphslim_tpu.models import nn
 
@@ -29,7 +30,7 @@ def aggregate(adj: Any, x: jax.Array) -> jax.Array:
     """One propagation step A @ x for any supported adjacency form."""
     if adj is None:
         return x
-    if isinstance(adj, G.SparseAdj):
+    if isinstance(adj, (G.SparseAdj, EllAdj)):
         return adj.matmul(x)
     adj = jnp.asarray(adj)
     if adj.ndim == 3 and x.ndim == 2:
@@ -49,8 +50,9 @@ def block_level_adj(adj: Any, layer: int):
     """Per-layer adjacency for list/BlockSample forms; identity otherwise."""
     if isinstance(adj, BlockSample):
         return ("block", adj.weights[layer])
-    # NB: SparseAdj is itself a NamedTuple — check it before list/tuple.
-    if isinstance(adj, (list, tuple)) and not isinstance(adj, G.SparseAdj):
+    # NB: SparseAdj/EllAdj are NamedTuples — check before list/tuple.
+    if isinstance(adj, (list, tuple)) and not isinstance(
+            adj, (G.SparseAdj, EllAdj)):
         return ("plain", adj[layer])
     return ("plain", adj)
 

@@ -132,6 +132,8 @@ class CondensationBase(Reducer):
             edge_weight=val[~diag], dedup=False)
         self.self_vals = jnp.asarray(self_vals)
         self.adj_norm_full = norm
+        from graphslim_tpu.kernels.ell import ell_from_sparse
+        self.adj_norm_fast = ell_from_sparse(norm)  # scatter-free SpMM
 
         # --- per-class pools (padded) ---------------------------------
         classes = list(self.budgets.keys())
@@ -147,13 +149,7 @@ class CondensationBase(Reducer):
         self.pools = jnp.asarray(pool_pad)
         self.batch = int(min(self.sample_batch, max_n))
 
-        # class masks over synthetic rows, coeffs
-        cls_arr = np.asarray(labels_syn)
-        self.class_masks = jnp.asarray(
-            np.stack([cls_arr == c for c in classes]))
-        self.coeffs = jnp.asarray(
-            [self.budgets[c] / self.n_syn for c in classes],
-            dtype=jnp.float32)
+        self._build_class_tables()
 
         # --- condense model + generators ------------------------------
         self.model = M.get_model(args.condense_model, M.ModelConfig(
@@ -169,6 +165,16 @@ class CondensationBase(Reducer):
         self.opt_feat = optax.adam(args.lr_feat)
         self.opt_pge = optax.adam(args.lr_adj)
         self.opt_model = optax.adam(args.lr or 0.01)
+
+    def _build_class_tables(self):
+        """Class masks over the synthetic-label vector used in matching
+        (may be longer than n_syn, e.g. MSGC's batch-repeated labels)."""
+        cls_arr = np.asarray(self.labels_syn)
+        self.class_masks = jnp.asarray(
+            np.stack([cls_arr == c for c in self.classes]))
+        self.coeffs = jnp.asarray(
+            [self.budgets[c] / self.n_syn for c in self.classes],
+            dtype=jnp.float32)
 
     # ------------------------------------------------------------------
     def init_feat_syn(self, verbose: bool = False) -> jax.Array:
@@ -251,6 +257,25 @@ class CondensationBase(Reducer):
                 jnp.eye(self.n_syn, dtype=feat_syn.dtype), add_loops=False)
         adj = self.pge.apply(pge_params, feat_syn)
         return G.normalize_adj_dense(adj)
+
+    def generator_forward(self, pge_params, feat_syn):
+        """(normalized syn adjacency, auxiliary generator loss).
+
+        Subclasses with extra generator objectives (SGDD's spectral OT)
+        override this."""
+        return self.syn_adj_norm(pge_params, feat_syn), jnp.float32(0.0)
+
+    def inference_adj(self, pge_params, feat_syn):
+        """Detached synthetic adjacency for inner-loop training and
+        checkpoint artifacts."""
+        if not self.with_structure:
+            return None
+        return self.pge.inference(pge_params, feat_syn)
+
+    def inner_adj(self, pge_params, feat_syn):
+        """Normalized detached adjacency for inner-loop model training."""
+        return G.normalize_adj_dense(
+            self.inference_adj(pge_params, feat_syn))
 
     # ------------------------------------------------------------------
     def intermediate_evaluation(self, feat_syn, adj_syn, best_val: float,

@@ -62,7 +62,7 @@ class GCDM(CondensationBase):
         model = self.model
         nlayers = args.nlayers
         eye = jnp.eye(self.n_syn)
-        adj_full = self.adj_norm_full
+        adj_full = self.adj_norm_fast
         features = self.features
         cls_ranges = [self.class_ranges[c] for c in self.classes]
         budgets = [self.budgets[c] for c in self.classes]

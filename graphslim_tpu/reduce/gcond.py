@@ -52,8 +52,9 @@ class GCond(CondensationBase):
                 k_ol, ol_idx = per_iter
 
                 def objective(fs, pp):
-                    adj_norm = self.syn_adj_norm(pp, fs)
-                    return self.match_loss_total(mp, fs, adj_norm, k_ol)
+                    adj_norm, aux = self.generator_forward(pp, fs)
+                    return self.match_loss_total(mp, fs, adj_norm,
+                                                 k_ol) + aux
 
                 loss, (g_f, g_p) = jax.value_and_grad(
                     objective, argnums=(0, 1))(feat_syn, pge_params)
@@ -80,11 +81,8 @@ class GCond(CondensationBase):
                 # synthetic graph (reference gcond.py:63-72).
                 if inner_loop > 0:
                     fs_d = jax.lax.stop_gradient(feat_syn)
-                    if struct:
-                        adj_inner = G.normalize_adj_dense(
-                            self.pge.inference(pge_params, fs_d))
-                    else:
-                        adj_inner = self.syn_adj_norm(None, fs_d)
+                    adj_inner = self.inner_adj(pge_params, fs_d) \
+                        if struct else self.syn_adj_norm(None, fs_d)
 
                     def inner(c, _):
                         mp, mo = c
@@ -135,14 +133,12 @@ class GCond(CondensationBase):
                 ke, feat_syn, pge_params, opt_f, opt_p)
             loss_avg = float(loss_sum) / denom
             if it in args.checkpoints:
-                adj_syn = (self.pge.inference(pge_params, feat_syn)
-                           if self.with_structure else None)
+                adj_syn = self.inference_adj(pge_params, feat_syn)
                 best_val = self.intermediate_evaluation(
                     feat_syn, adj_syn, best_val, it, loss_avg, verbose)
         if self._best_reduced is not None:
             return self._best_reduced
-        adj_syn = (self.pge.inference(pge_params, feat_syn)
-                   if self.with_structure else None)
+        adj_syn = self.inference_adj(pge_params, feat_syn)
         return G.Reduced(feat=jax.lax.stop_gradient(feat_syn),
                          adj=adj_syn, labels=self.labels_syn)
 

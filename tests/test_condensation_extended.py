@@ -1,0 +1,87 @@
+"""SimGC / SGDD / MSGC + ELL layout tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graphslim_tpu import graph as G
+from graphslim_tpu.config import Args, finalize
+from graphslim_tpu.eval import Evaluator
+from graphslim_tpu.reduce import create_reducer
+from graphslim_tpu.kernels.ell import ell_from_sparse
+
+
+def _run(method, ds, tmp_path, **extra):
+    base = dict(dataset="synth-small", method=method,
+                save_path=str(tmp_path), epochs=3, outer_loop=2,
+                inner_loop=1, eval_epochs=50, run_eval=2,
+                run_inter_eval=1, lr_feat=0.01, lr_adj=0.01,
+                condense_model="SGC")
+    base.update(extra)
+    args = finalize(Args(**base), explicit=set(base))
+    red = create_reducer(method, ds, args).reduce(ds)
+    (mean, std), _ = Evaluator(ds, args).evaluate(red, "GCN")
+    return red, mean
+
+
+def test_ell_matches_sparse(synth_dataset):
+    ds = synth_dataset
+    norm = ds.adj_norm()
+    ell = ell_from_sparse(norm, cap=16)
+    x = ds.feat
+    np.testing.assert_allclose(np.asarray(ell.matmul(x)),
+                               np.asarray(norm.matmul(x)),
+                               rtol=1e-4, atol=1e-5)
+    # dataset-level cache
+    ell2 = ds.adj_norm_ell()
+    np.testing.assert_allclose(np.asarray(ell2.matmul(x)),
+                               np.asarray(norm.matmul(x)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ell_in_model_forward(synth_dataset):
+    from graphslim_tpu import models as M
+    ds = synth_dataset
+    model = M.get_model("GCN", M.ModelConfig(
+        nfeat=ds.n_feat, nhid=32, nclass=ds.nclass))
+    params = model.init(jax.random.key(0))
+    out_sp = np.asarray(model.apply(params, ds.feat, ds.adj_norm()))
+    out_ell = np.asarray(model.apply(params, ds.feat, ds.adj_norm_ell()))
+    np.testing.assert_allclose(out_ell, out_sp, rtol=5e-3, atol=5e-4)
+
+
+def test_simgc(tmp_path, synth_dataset):
+    red, acc = _run("simgc", synth_dataset, tmp_path, epochs=30,
+                    lr_teacher=0.01, threshold=0.05)
+    assert red.adj is not None
+    assert acc > 0.7, acc
+
+
+def test_sgdd(tmp_path, synth_dataset):
+    red, acc = _run("sgdd", synth_dataset, tmp_path,
+                    opt_scale=1e-11, mx_size=100)
+    assert red.adj is not None
+    adj = np.asarray(red.adj)
+    np.testing.assert_allclose(adj, adj.T, rtol=1e-4)
+    assert acc > 0.5, acc
+
+
+def test_msgc(tmp_path, synth_dataset):
+    ds = synth_dataset
+    red, acc = _run("msgc", ds, tmp_path, batch_adj=3)
+    adj = np.asarray(red.dense_adj())
+    assert adj.ndim == 3 and adj.shape[0] == 3
+    n_syn = adj.shape[1]
+    assert np.asarray(red.labels).shape[0] == 3 * n_syn
+    assert acc > 0.7, acc
+
+
+def test_msgc_proportional_labels():
+    from graphslim_tpu.reduce.msgc import proportional_labels
+    labels = np.array([0] * 60 + [1] * 30 + [2] * 10)
+    y = proportional_labels(labels, 20, 3)
+    assert y.shape[0] == 20
+    counts = np.bincount(y, minlength=3)
+    assert counts.min() >= 1
+    assert counts[0] > counts[2]
