@@ -75,6 +75,14 @@ class Args:
     gamma: float = 0.5
     e1: int = 10                           # GDEM eigenvec steps
     e2: int = 15                           # GDEM feat steps
+    # GECC
+    agg_alpha: float = 0.9
+    agg_beta: float = 0.9
+    agg_gamma: float = -0.1
+    fuzziness: float = 1.3
+    rep_fuzz: int = 50
+    depth: int = 2
+    balance_alpha: int = 1
     beta: float = 0.1
     coarsen_strategy: str = "greedy"
     no_buff: bool = False

@@ -5,3 +5,6 @@ Replaces reference ``graphslim/evaluation/`` (``eval_agent.py``,
 """
 
 from graphslim_tpu.eval.evaluator import Evaluator
+from graphslim_tpu.eval.nas import NasEvaluator
+from graphslim_tpu.eval.property import PropertyEvaluator
+from graphslim_tpu.eval.mia import inference_via_confidence, mia_attack

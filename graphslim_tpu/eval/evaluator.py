@@ -135,11 +135,58 @@ class Evaluator:
         if verbose:
             print(f"eval[{model_type}] {runs} runs: "
                   f"{mean * 100:.2f} ± {std * 100:.2f}")
-        return (mean, std), accs
+        return (mean, std), (accs, np.asarray(best_vals))
 
     # ------------------------------------------------------------------
+    # Hyperparameter grids per architecture (reference
+    # ``eval_agent.py:119-145``)
+    GRID = {
+        "GCN": {"hidden": [64, 256], "lr": [0.01, 0.001],
+                "weight_decay": [0.0, 5e-4]},
+        "SGC": {"hidden": [64, 256], "lr": [0.01, 0.001],
+                "weight_decay": [0.0, 5e-4], "ntrans": [1, 2]},
+        "APPNP": {"hidden": [64, 256], "lr": [0.01, 0.001],
+                  "weight_decay": [0.0, 5e-4], "alpha": [0.1, 0.2]},
+        "Cheby": {"hidden": [64, 256], "lr": [0.01, 0.001],
+                  "weight_decay": [0.0, 5e-4]},
+        "GraphSage": {"hidden": [64, 256], "lr": [0.01, 0.001],
+                      "weight_decay": [0.0, 5e-4]},
+        "MLP": {"hidden": [64, 256], "lr": [0.01, 0.001],
+                "weight_decay": [0.0, 5e-4]},
+        "GAT": {"hidden": [64], "lr": [0.01, 0.001],
+                "weight_decay": [0.0, 5e-4]},
+    }
+
+    def grid_search(self, reduced: G.Reduced, model_type: str,
+                    param_grid: Optional[dict] = None,
+                    verbose: bool = False):
+        """Best (test mean, std) by validation over a parameter grid
+        (reference ``eval_agent.py:55-117``)."""
+        import itertools
+
+        grid = param_grid or self.GRID.get(model_type, self.GRID["GCN"])
+        keys = sorted(grid)
+        best_val, best_test, best_params = -1.0, (float("nan"),) * 2, None
+        for combo in itertools.product(*(grid[k] for k in keys)):
+            params = dict(zip(keys, combo))
+            args = self.args.replace(**{
+                k: v for k, v in params.items() if hasattr(self.args, k)})
+            sub = Evaluator(self.data, args)
+            (mean, std), accs_and_vals = sub.evaluate(reduced, model_type,
+                                                      verbose=False)
+            # rank by mean validation accuracy across runs
+            val_score = float(np.mean(np.asarray(accs_and_vals[1]))) \
+                if isinstance(accs_and_vals, tuple) else mean
+            if val_score > best_val:
+                best_val = val_score
+                best_test, best_params = (mean, std), params
+            if verbose:
+                print(f"{model_type} {params}: {mean * 100:.2f}")
+        return best_test, best_params
+
     def train_cross(self, reduced: G.Reduced,
                     model_types: Optional[list[str]] = None,
+                    use_grid: bool = False,
                     verbose: bool = False) -> dict[str, tuple]:
         """Cross-architecture table (reference ``eval_agent.py:55-157``)."""
         model_types = model_types or ["MLP", "GCN", "SGC", "APPNP",
@@ -147,7 +194,12 @@ class Evaluator:
         out = {}
         for mt in model_types:
             try:
-                out[mt], _ = self.evaluate(reduced, mt, verbose=verbose)
+                if use_grid:
+                    out[mt], _ = self.grid_search(reduced, mt,
+                                                  verbose=verbose)
+                else:
+                    out[mt], _ = self.evaluate(reduced, mt,
+                                               verbose=verbose)
             except Exception as e:  # GAT on empty sparse graphs etc.
                 log.warning("train_cross[%s] failed: %s", mt, e)
                 out[mt] = (float("nan"), float("nan"))
