@@ -9,6 +9,7 @@ from graphslim_tpu.models.base import (
 )
 from graphslim_tpu.models.zoo import MLP, GCN, SGC, APPNP, Cheby, GraphSage
 from graphslim_tpu.models.gat import GAT
+from graphslim_tpu.models.sgformer import SGFormer
 from graphslim_tpu.models.trainer import (
     TrainConfig, fit_with_val, fit_multi_seed, evaluate, prepare_adj,
 )
@@ -23,6 +24,7 @@ MODEL_REGISTRY = {
     "GraphSage": GraphSage,
     "SAGE": GraphSage,
     "GAT": GAT,
+    "SGFormer": SGFormer,
 }
 
 

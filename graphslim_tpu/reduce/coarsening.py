@@ -163,7 +163,11 @@ def _greedy_set_selection(costs, sets, n, r_cur) -> list[np.ndarray]:
 def _greedy_matching(edges: np.ndarray, weights: np.ndarray, n: int,
                      r: float) -> list[np.ndarray]:
     """Heavy-weight-first disjoint matching (reference
-    ``utils.py:1869-1935``)."""
+    ``utils.py:1869-1935``); C++ fast path when available."""
+    from graphslim_tpu import native
+    pairs = native.greedy_matching(edges[0], edges[1], weights, n, r)
+    if pairs is not None:
+        return [p for p in pairs]
     order = np.argsort(-weights)
     marked = np.zeros(n, dtype=bool)
     out = []

@@ -216,6 +216,13 @@ class TSpanner(EdgeSparsifier):
     def select_edges(self, W, edges, weights):
         t = self.args.ts
         n = W.shape[0]
+        # Fast path: exact sequential spanner in the first-party C++ lib
+        # (graphslim_tpu/native); Python fallback below batches the
+        # spanner-graph rebuilds.
+        from graphslim_tpu import native
+        keep = native.t_spanner(edges[0], edges[1], weights, n, float(t))
+        if keep is not None:
+            return keep
         order = np.argsort(weights, kind="stable")
         kept_rows, kept_cols, kept_w, kept_idx = [], [], [], []
         rebuild_every = max(len(order) // 50, 1)
