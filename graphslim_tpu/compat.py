@@ -77,6 +77,30 @@ def to_dgl_graph(obj: Any):
     return g
 
 
+def from_dgl(g, hetero: bool = False) -> tuple:
+    """(feat, SparseAdj, labels) from a DGL graph; heterographs are
+    flattened by merging all edge types (reference
+    ``dataset/convertor.py:15-58`` FraudDataset path)."""
+    import jax.numpy as jnp
+
+    if hetero or (hasattr(g, "etypes") and len(g.etypes) > 1):
+        srcs, dsts = [], []
+        for et in g.canonical_etypes:
+            s, d = g.edges(etype=et)
+            srcs.append(np.asarray(s))
+            dsts.append(np.asarray(d))
+        ei = np.stack([np.concatenate(srcs), np.concatenate(dsts)])
+    else:
+        s, d = g.edges()
+        ei = np.stack([np.asarray(s), np.asarray(d)])
+    feat = np.asarray(g.ndata["feature" if "feature" in g.ndata
+                              else "feat"])
+    labels = np.asarray(g.ndata["label"])
+    adj = G.from_edge_index(ei, feat.shape[0], symmetrize=True)
+    return (jnp.asarray(feat, dtype=jnp.float32), adj,
+            jnp.asarray(labels.astype(np.int32)))
+
+
 def from_torch(x, edge_index, y, edge_weight=None,
                name: str = "external") -> tuple:
     """(feat jnp, SparseAdj, labels jnp) from torch tensors."""

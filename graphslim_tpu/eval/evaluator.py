@@ -112,6 +112,22 @@ class Evaluator:
         tx, tadj, ty = self._train_tuple(reduced, model_type)
         val = self._val_tuple(model_type)
         test = self._test_tuple(model_type)
+        # Hoist input-side aggregations out of the 300-epoch loop where
+        # exact (SGC ntrans=1: all of them; GCN: first layer) — see
+        # models/hoist.py.  Skipped for batched-3D synthetic adjacencies.
+        from graphslim_tpu.models.hoist import hoist_plan, hoist_batch
+
+        def _hoistable(adj):
+            return adj is None or not (hasattr(adj, "ndim")
+                                       and adj.ndim == 3)
+        plan = hoist_plan(model)
+        if plan is not None and all(_hoistable(t) for t in
+                                    (tadj, val[1], test[1])):
+            model, hops, keep = plan
+            tx, tadj, ty, _ = hoist_batch((tx, tadj, ty, None), hops,
+                                          keep)
+            val = hoist_batch(val, hops, keep)
+            test = hoist_batch(test, hops, keep)
         cfg = M.TrainConfig(epochs=a.eval_epochs, lr=a.lr or 0.01,
                             weight_decay=5e-4, metric=a.metric)
         keys = jax.random.split(jax.random.key(seed), runs)
@@ -204,6 +220,48 @@ class Evaluator:
                 log.warning("train_cross[%s] failed: %s", mt, e)
                 out[mt] = (float("nan"), float("nan"))
         return out
+
+    def tsne_vis(self, reduced: G.Reduced, out_path: str,
+                 max_real: int = 2000) -> str:
+        """t-SNE of real train vs synthetic features
+        (reference ``eval_agent.py:404-494``)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        from sklearn.manifold import TSNE
+
+        d = self.data
+        if d.setting == "ind":
+            feat_tr = np.asarray(d.feat_train)
+            y_tr = np.asarray(d.labels_train)
+        else:
+            feat_tr = np.asarray(d.feat)[d.idx_train]
+            y_tr = np.asarray(d.labels)[d.idx_train]
+        if feat_tr.shape[0] > max_real:
+            sel = np.random.default_rng(0).choice(
+                feat_tr.shape[0], max_real, replace=False)
+            feat_tr, y_tr = feat_tr[sel], y_tr[sel]
+        feat_syn = np.asarray(reduced.feat)
+        y_syn = np.asarray(reduced.labels)
+        if y_syn.ndim == 2:
+            y_syn = y_syn.argmax(1)
+        all_data = np.concatenate([feat_tr, feat_syn])
+        perplexity = min(30, max(all_data.shape[0] // 4, 2))
+        pts = TSNE(n_components=2, random_state=0,
+                   perplexity=perplexity).fit_transform(all_data)
+        n_r = feat_tr.shape[0]
+        fig, ax = plt.subplots(figsize=(6, 5))
+        ax.scatter(pts[:n_r, 0], pts[:n_r, 1], c=y_tr, cmap="tab10",
+                   s=8, alpha=0.4, label="real")
+        ax.scatter(pts[n_r:, 0], pts[n_r:, 1], c=y_syn, cmap="tab10",
+                   s=60, marker="*", edgecolors="black", label="syn")
+        ax.legend()
+        import os
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)),
+                    exist_ok=True)
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        return out_path
 
     def nas_evaluate(self, reduced: G.Reduced, model,
                      runs: int = 1, seed: int = 0) -> float:

@@ -27,6 +27,10 @@ _SPECS = [
                agg_cls="RandomAgg"),
     MethodSpec("kcenter", "sparsification", "coreset", "KCenter",
                agg_cls="KCenterAgg"),
+    # kcenter_sample's select() is identical to kcenter upstream
+    # (reference kcenter_sample.py:10-28; its sampling path is commented
+    # out)
+    MethodSpec("kcenter_sample", "sparsification", "coreset", "KCenter"),
     MethodSpec("herding", "sparsification", "coreset", "Herding",
                agg_cls="HerdingAgg"),
     MethodSpec("cent_d", "sparsification", "coreset", "CentD"),
