@@ -7,6 +7,7 @@ Replaces reference ``get_dataset``/``TransAndInd``/``splits``
 from __future__ import annotations
 
 import dataclasses
+import os
 import zlib
 from typing import Optional
 
@@ -103,6 +104,29 @@ def _make_splits(labels: np.ndarray, nclass: int, split: str,
             np.sort(np.concatenate(test)))
 
 
+def _synth_cached(name: str, spec: DatasetSpec):
+    """Generate (or load from disk cache) the deterministic synthetic
+    twin.  Seeded with zlib.crc32 (NOT the salted builtin hash) so the
+    graph is identical across processes; large twins (ogbn-arxiv ~30 s of
+    host NumPy) cache under ``~/.cache/graphslim_tpu/synth``."""
+    seed = zlib.crc32(name.encode()) % (2 ** 31)
+    cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                             "graphslim_tpu", "synth")
+    path = os.path.join(cache_dir, f"{name}.npz")
+    if spec.n_nodes >= 50_000 and os.path.exists(path):
+        blob = np.load(path)
+        return blob["edge_index"], blob["feat"], blob["labels"]
+    out = synthetic.generate(spec.n_nodes, spec.n_feat, spec.nclass,
+                             spec.avg_degree, spec.homophily, seed=seed)
+    if spec.n_nodes >= 50_000:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            np.savez(path, edge_index=out[0], feat=out[1], labels=out[2])
+        except OSError:
+            pass
+    return out
+
+
 def load(name: str, setting: Optional[str] = None, split: Optional[str]
          = None, seed: int = 0, data_dir: Optional[str] = None,
          pre_norm: bool = False) -> G.Dataset:
@@ -126,11 +150,7 @@ def load(name: str, setting: Optional[str] = None, split: Optional[str]
         edge_index, feat_np, labels_np, role = loaded
         nclass = int(labels_np.max()) + 1
     else:
-        # Stable per-dataset seed (zlib.crc32, NOT the salted builtin hash)
-        # so the synthetic twin is identical across processes.
-        edge_index, feat_np, labels_np = synthetic.generate(
-            spec.n_nodes, spec.n_feat, spec.nclass, spec.avg_degree,
-            spec.homophily, seed=zlib.crc32(name.encode()) % (2 ** 31))
+        edge_index, feat_np, labels_np = _synth_cached(name, spec)
         nclass = spec.nclass
 
     n = feat_np.shape[0]

@@ -29,17 +29,24 @@ class EllBucket(NamedTuple):
     val: jax.Array   # [n_b, K] float32 (0 for padding)
 
 
-class EllAdj(NamedTuple):
+class EllAdj:
     """Bucketed ELL adjacency. ``inv_perm[r]`` locates row r in the
-    concatenated bucket output (zero-degree rows point at a zeros row)."""
+    concatenated bucket output (zero-degree rows point at a zeros row).
 
-    buckets: tuple            # tuple[EllBucket, ...] (static arity)
-    inv_perm: jax.Array       # [n_rows] int32
-    heavy_row: Optional[jax.Array]   # [E_h] compacted heavy-row output slot
-    heavy_col: Optional[jax.Array]
-    heavy_val: Optional[jax.Array]
-    n_heavy: int
-    n_rows: int
+    Registered as a custom pytree: arrays are children, the integer
+    metadata (``n_heavy``/``n_rows``) is static aux data so jit never
+    traces it (NamedTuple int fields would become tracers).
+    """
+
+    def __init__(self, buckets, inv_perm, heavy_row, heavy_col,
+                 heavy_val, n_heavy: int, n_rows: int):
+        self.buckets = tuple(buckets)
+        self.inv_perm = inv_perm
+        self.heavy_row = heavy_row
+        self.heavy_col = heavy_col
+        self.heavy_val = heavy_val
+        self.n_heavy = n_heavy
+        self.n_rows = n_rows
 
     @property
     def nnz(self) -> int:
@@ -49,6 +56,18 @@ class EllAdj(NamedTuple):
 
     def matmul(self, x: jax.Array) -> jax.Array:
         return spmm_ell(self, x)
+
+    def tree_flatten(self):
+        children = (self.buckets, self.inv_perm, self.heavy_row,
+                    self.heavy_col, self.heavy_val)
+        return children, (self.n_heavy, self.n_rows)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+jax.tree_util.register_pytree_node_class(EllAdj)
 
 
 def build_ell(indptr: np.ndarray, indices: np.ndarray,
