@@ -1,0 +1,92 @@
+"""Smoke-sweep every registered method at minimum settings.
+
+Analog of the reference's efficiency protocol (``efficiency.md:60-100``):
+run all registered methods on one small dataset with tiny epochs and a
+timeout, print a pass/fail/time/accuracy table.
+
+Usage: python benchmark/smoke_all.py [--dataset synth-small] [--timeout 180]
+"""
+
+from __future__ import annotations
+
+import argparse
+import multiprocessing as mp
+import os
+import sys
+import time
+import traceback
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _run_one(method: str, dataset: str, q) -> None:
+    import sys as _sys
+
+    if _REPO not in _sys.path:
+        _sys.path.insert(0, _REPO)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from graphslim_tpu.config import Args, finalize
+    from graphslim_tpu.data import load
+    from graphslim_tpu.eval import Evaluator
+    from graphslim_tpu.reduce import create_reducer
+
+    try:
+        base = dict(dataset=dataset, method=method,
+                    save_path="/tmp/gs_smoke", epochs=4, outer_loop=2,
+                    inner_loop=1, eval_epochs=40, run_eval=2,
+                    run_inter_eval=1, teacher_epochs=60,
+                    expert_epochs=30, syn_steps=15, num_experts=2,
+                    lr_student=0.2, start_epoch=20, optim="SGD",
+                    max_start_epoch_s=20, max_start_epoch=30,
+                    eigen_k=16)
+        args = finalize(Args(**base), explicit=set(base))
+        data = load(dataset, setting=args.setting, split=args.split,
+                    seed=args.seed)
+        t0 = time.time()
+        reduced = create_reducer(method, data, args).reduce(data)
+        (mean, std), _ = Evaluator(data, args).evaluate(reduced, "GCN")
+        q.put((method, "pass", time.time() - t0, mean))
+    except Exception:
+        q.put((method, "FAIL", 0.0, 0.0))
+        traceback.print_exc()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="synth-small")
+    ap.add_argument("--timeout", type=int, default=180)
+    ap.add_argument("--methods", default=None)
+    args = ap.parse_args()
+
+    from graphslim_tpu.reduce import list_methods
+
+    methods = (args.methods.split(",") if args.methods
+               else list_methods())
+    rows = []
+    ctx = mp.get_context("spawn")
+    for m in methods:
+        q = ctx.Queue()
+        p = ctx.Process(target=_run_one, args=(m, args.dataset, q))
+        t0 = time.time()
+        p.start()
+        p.join(args.timeout)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            rows.append((m, "TIMEOUT", args.timeout, 0.0))
+        else:
+            rows.append(q.get() if not q.empty()
+                        else (m, "CRASH", time.time() - t0, 0.0))
+        print(f"{rows[-1][0]:28s} {rows[-1][1]:8s} "
+              f"{rows[-1][2]:7.1f}s  acc={rows[-1][3]:.3f}", flush=True)
+    n_pass = sum(r[1] == "pass" for r in rows)
+    print(f"\n{n_pass}/{len(rows)} methods pass")
+    return 0 if n_pass == len(rows) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
