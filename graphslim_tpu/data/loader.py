@@ -163,29 +163,38 @@ def load(name: str, setting: Optional[str] = None, split: Optional[str]
         idx_train, idx_val, idx_test = _make_splits(
             labels_np, nclass, split, rng)
 
-    adj = G.from_edge_index(edge_index, n, symmetrize=True)
-    feat = jnp.asarray(feat_np, dtype=jnp.float32)
+    adj, adj_host = G.from_edge_index(edge_index, n, symmetrize=True,
+                                      return_host=True)
+    # feature transforms host-side (one device transfer at the end; eager
+    # per-op dispatch is costly on remote-compile backends)
+    feat_np = np.asarray(feat_np, dtype=np.float32)
     if pre_norm or spec.transform != "none":
         if spec.transform == "standardize":
-            feat = G.standardize(feat, jnp.asarray(idx_train))
+            mu = feat_np[idx_train].mean(0)
+            sd = feat_np[idx_train].std(0)
+            feat_np = (feat_np - mu) / np.maximum(sd, 1e-12)
         elif spec.transform == "row_norm":
-            feat = G.row_normalize(feat)
+            norms = np.linalg.norm(feat_np, axis=1, keepdims=True)
+            feat_np = feat_np / np.maximum(norms, 1e-12)
+    feat = jnp.asarray(feat_np)
 
     labels = jnp.asarray(labels_np, dtype=jnp.int32)
     ds = G.Dataset(
         name=name, feat=feat, labels=labels, adj=adj,
         idx_train=idx_train, idx_val=idx_val, idx_test=idx_test,
-        nclass=nclass, setting=setting)
+        nclass=nclass, setting=setting, adj_host=adj_host)
 
     if setting == "ind":
-        # Induced train/test subgraphs (reference loader.py:125-135).
-        ds.feat_train = jnp.take(feat, jnp.asarray(idx_train), axis=0)
-        ds.labels_train = jnp.take(labels, jnp.asarray(idx_train))
-        ds.adj_train = G.submatrix(adj, idx_train)
-        ds.feat_val = jnp.take(feat, jnp.asarray(idx_val), axis=0)
-        ds.labels_val = jnp.take(labels, jnp.asarray(idx_val))
-        ds.adj_val = G.submatrix(adj, idx_val)
-        ds.feat_test = jnp.take(feat, jnp.asarray(idx_test), axis=0)
-        ds.labels_test = jnp.take(labels, jnp.asarray(idx_test))
-        ds.adj_test = G.submatrix(adj, idx_test)
+        # Induced train/val/test subgraphs (reference loader.py:125-135);
+        # built from the host mirror and host features (no readbacks).
+        ds.feat_train = jnp.asarray(feat_np[idx_train])
+        ds.labels_train = jnp.asarray(labels_np[idx_train].astype(
+            np.int32))
+        ds.adj_train = G.submatrix(adj_host, idx_train)
+        ds.feat_val = jnp.asarray(feat_np[idx_val])
+        ds.labels_val = jnp.asarray(labels_np[idx_val].astype(np.int32))
+        ds.adj_val = G.submatrix(adj_host, idx_val)
+        ds.feat_test = jnp.asarray(feat_np[idx_test])
+        ds.labels_test = jnp.asarray(labels_np[idx_test].astype(np.int32))
+        ds.adj_test = G.submatrix(adj_host, idx_test)
     return ds

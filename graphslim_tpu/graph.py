@@ -84,10 +84,60 @@ class SparseAdj(NamedTuple):
         return dense.at[self.row, self.col].add(v)
 
 
+class HostAdj(NamedTuple):
+    """Host (NumPy) mirror of a SparseAdj — kept alongside device arrays
+    so load-time pipelines (normalization, ELL build, submatrices) never
+    read back from the device (expensive on remote/tunneled backends)."""
+
+    indptr: np.ndarray
+    row: np.ndarray
+    col: np.ndarray
+    val: Optional[np.ndarray]
+
+    @property
+    def n_rows(self) -> int:
+        return self.indptr.shape[0] - 1
+
+    def values_or_ones(self) -> np.ndarray:
+        if self.val is None:
+            return np.ones(self.row.shape[0], dtype=np.float32)
+        return self.val
+
+    def to_sparse(self) -> "SparseAdj":
+        return SparseAdj(
+            indptr=jnp.asarray(self.indptr, dtype=jnp.int32),
+            row=jnp.asarray(self.row, dtype=jnp.int32),
+            col=jnp.asarray(self.col, dtype=jnp.int32),
+            val=None if self.val is None else jnp.asarray(
+                self.val, dtype=jnp.float32))
+
+
+def host_gcn_norm(h: HostAdj) -> HostAdj:
+    """Self loops + symmetric normalization, entirely on host."""
+    n = h.n_rows
+    row, col, val = h.row, h.col, h.values_or_ones()
+    off = row != col
+    row = np.concatenate([row[off], np.arange(n)])
+    col = np.concatenate([col[off], np.arange(n)])
+    val = np.concatenate([val[off].astype(np.float32),
+                          np.ones(n, dtype=np.float32)])
+    order = np.lexsort((col, row))
+    row, col, val = row[order], col[order], val[order]
+    deg = np.zeros(n, dtype=np.float64)
+    np.add.at(deg, row, val)
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+    vn = (val * dinv[row] * dinv[col]).astype(np.float32)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, row + 1, 1)
+    return HostAdj(np.cumsum(indptr), row, col, vn)
+
+
 def from_edge_index(edge_index: np.ndarray, n_nodes: int,
                     edge_weight: Optional[np.ndarray] = None,
                     symmetrize: bool = False,
-                    dedup: bool = True) -> SparseAdj:
+                    dedup: bool = True,
+                    return_host: bool = False) -> SparseAdj:
     """Build a row-sorted SparseAdj from a [2, E] edge index (host-side).
 
     Equivalent of reference ``ei2csr`` (``dataset/convertor.py:64-70``).
@@ -116,12 +166,11 @@ def from_edge_index(edge_index: np.ndarray, n_nodes: int,
     indptr = np.zeros(n_nodes + 1, dtype=np.int64)
     np.add.at(indptr, row + 1, 1)
     indptr = np.cumsum(indptr)
-    return SparseAdj(
-        indptr=jnp.asarray(indptr, dtype=jnp.int32),
-        row=jnp.asarray(row, dtype=jnp.int32),
-        col=jnp.asarray(col, dtype=jnp.int32),
-        val=None if w is None else jnp.asarray(w, dtype=jnp.float32),
-    )
+    host = HostAdj(indptr, row.astype(np.int64), col.astype(np.int64),
+                   None if w is None else w.astype(np.float32))
+    if return_host:
+        return host.to_sparse(), host
+    return host.to_sparse()
 
 
 def from_scipy(mat) -> SparseAdj:
@@ -196,12 +245,23 @@ def gcn_norm_values(adj: SparseAdj) -> jax.Array:
 def gcn_norm(adj: SparseAdj, add_loops: bool = True) -> SparseAdj:
     """Symmetric GCN normalization of a sparse adjacency.
 
-    ``add_loops`` changes nnz, so that part runs host-side once; call with
-    ``add_loops=False`` inside jit when loops are pre-added.
+    Host-side NumPy on purpose: this runs once per graph at load time,
+    and eager per-op device dispatch is expensive on remote-compile
+    backends.  Use :func:`gcn_norm_values` for the jittable in-graph
+    variant.
     """
     if add_loops:
         adj = add_self_loops(adj)
-    return adj.with_val(gcn_norm_values(adj))
+    row = np.asarray(adj.row)
+    col = np.asarray(adj.col)
+    v = (np.ones(row.shape[0], dtype=np.float32) if adj.val is None
+         else np.asarray(adj.val))
+    deg = np.zeros(adj.n_rows, dtype=np.float64)
+    np.add.at(deg, row, v)
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+    vn = (v * dinv[row] * dinv[col]).astype(np.float32)
+    return adj.with_val(jnp.asarray(vn))
 
 
 def normalize_adj_dense(adj: jax.Array, add_loops: bool = True) -> jax.Array:
@@ -294,8 +354,14 @@ class Dataset:
     feat_test: Optional[jax.Array] = None
     labels_test: Optional[jax.Array] = None
     adj_test: Optional[SparseAdj] = None
+    # Host mirror of the raw adjacency (set by the loader; avoids
+    # device→host readbacks in load-time pipelines)
+    adj_host: Optional["HostAdj"] = dataclasses.field(
+        default=None, repr=False)
     # Cached normalized full adjacency (computed lazily)
     _adj_norm: Optional[SparseAdj] = dataclasses.field(
+        default=None, repr=False)
+    _adj_norm_host: Optional["HostAdj"] = dataclasses.field(
         default=None, repr=False)
 
     @property
@@ -306,18 +372,35 @@ class Dataset:
     def n_feat(self) -> int:
         return self.feat.shape[1]
 
+    def adj_norm_host(self) -> "HostAdj":
+        """Cached host-side normalized adjacency (NumPy)."""
+        if self._adj_norm_host is None:
+            if self.adj_host is not None:
+                host = self.adj_host
+            else:  # readback fallback (small graphs only)
+                host = HostAdj(np.asarray(self.adj.indptr),
+                               np.asarray(self.adj.row),
+                               np.asarray(self.adj.col),
+                               None if self.adj.val is None
+                               else np.asarray(self.adj.val))
+            self._adj_norm_host = host_gcn_norm(host)
+        return self._adj_norm_host
+
     def adj_norm(self) -> SparseAdj:
         """Cached GCN-normalized full adjacency (with self loops)."""
         if self._adj_norm is None:
-            object.__setattr__(self, "_adj_norm", gcn_norm(self.adj))
+            object.__setattr__(self, "_adj_norm",
+                               self.adj_norm_host().to_sparse())
         return self._adj_norm
 
     def adj_norm_ell(self):
         """Normalized adjacency in the degree-bucketed ELL fast layout
-        (scatter-free SpMM — kernels/ell.py); cached."""
+        (scatter-free SpMM — kernels/ell.py); cached, built from the host
+        mirror (no device readbacks)."""
         if not hasattr(self, "_adj_norm_ell") or self._adj_norm_ell is None:
-            from graphslim_tpu.kernels.ell import ell_from_sparse
-            self._adj_norm_ell = ell_from_sparse(self.adj_norm())
+            from graphslim_tpu.kernels.ell import build_ell
+            h = self.adj_norm_host()
+            self._adj_norm_ell = build_ell(h.indptr, h.col, h.val)
         return self._adj_norm_ell
 
     def train_graph(self) -> tuple[jax.Array, SparseAdj, jax.Array]:

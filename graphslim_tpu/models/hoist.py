@@ -29,8 +29,14 @@ from graphslim_tpu.models.base import GNNModel, aggregate
 from graphslim_tpu.models.zoo import GCN, SGC
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
 def _propagate_aug(x: jax.Array, adj: Any, hops: int) -> jax.Array:
-    """A^hops [X | 1] — one-time precomputation."""
+    """A^hops [X | 1] — one-time precomputation (jitted: a single
+    compiled program instead of dozens of eager dispatches, which matters
+    on remote-compile backends)."""
     aug = jnp.concatenate([x, jnp.ones((x.shape[0], 1), x.dtype)], axis=1)
     for _ in range(hops):
         aug = aggregate(adj, aug)

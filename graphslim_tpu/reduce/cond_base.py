@@ -120,10 +120,21 @@ class CondensationBase(Reducer):
             pool_labels = np.asarray(data.labels)[pool_base]
 
         # Normalized adjacency split into off-diagonal CSR + self values
-        # for the on-device sampler.
-        norm = G.gcn_norm(adj_raw)
-        row, col = np.asarray(norm.row), np.asarray(norm.col)
-        val = np.asarray(norm.val)
+        # for the on-device sampler.  Host mirrors avoid device readbacks
+        # (SURVEY.md: the reference's GPU→scipy→GPU round trip analog).
+        if data.setting != "ind":
+            norm_host = data.adj_norm_host()
+            norm = data.adj_norm()
+        else:
+            host = G.HostAdj(np.asarray(adj_raw.indptr),
+                             np.asarray(adj_raw.row),
+                             np.asarray(adj_raw.col),
+                             None if adj_raw.val is None
+                             else np.asarray(adj_raw.val))
+            norm_host = G.host_gcn_norm(host)
+            norm = norm_host.to_sparse()
+        row, col = norm_host.row, norm_host.col
+        val = norm_host.val
         diag = row == col
         self_vals = np.zeros(norm.n_rows, dtype=np.float32)
         self_vals[row[diag]] = val[diag]
@@ -132,8 +143,9 @@ class CondensationBase(Reducer):
             edge_weight=val[~diag], dedup=False)
         self.self_vals = jnp.asarray(self_vals)
         self.adj_norm_full = norm
-        from graphslim_tpu.kernels.ell import ell_from_sparse
-        self.adj_norm_fast = ell_from_sparse(norm)  # scatter-free SpMM
+        from graphslim_tpu.kernels.ell import build_ell
+        self.adj_norm_fast = build_ell(norm_host.indptr, norm_host.col,
+                                       norm_host.val)  # scatter-free SpMM
 
         # --- per-class pools (padded) ---------------------------------
         classes = list(self.budgets.keys())
