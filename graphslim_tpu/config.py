@@ -128,6 +128,8 @@ class Args:
     eval_wd: float = 0.0
     eval_loss: str = "CE"
     eval_whole: bool = False
+    # --- distributed ----------------------------------------------------
+    dist_devices: int = 0   # >1: shard gradient matching over a mesh
     # --- tracking -------------------------------------------------------
     wandb: bool = False
     wandb_project: str = "graphslim_tpu"
@@ -219,7 +221,9 @@ def get_args(argv: Optional[list[str]] = None) -> Args:
         flag = f"--{f.name}"
         names = [flag] + ([short[f.name]] if f.name in short else [])
         if f.type == "bool" or isinstance(f.default, bool):
-            parser.add_argument(*names, action="store_true",
+            # --flag / --no-flag pairs so True defaults are overridable
+            parser.add_argument(*names,
+                                action=argparse.BooleanOptionalAction,
                                 default=f.default)
         else:
             typ = (type(f.default) if f.default is not None else str)

@@ -244,9 +244,28 @@ class CondensationBase(Reducer):
 
         return jax.grad(loss_of)(model_params)
 
+    _sharded_match = None
+
+    def enable_distributed(self, n_devices: Optional[int] = None,
+                           axis: str = "data") -> None:
+        """Shard the per-class gradient matching over a device mesh
+        (classes partition across devices, scalar loss psums — see
+        dist/matching.py).  Opt-in via ``--dist_devices N``."""
+        from graphslim_tpu.dist import make_mesh
+        from graphslim_tpu.dist.matching import build_sharded_match
+
+        mesh = make_mesh(n_devices, axis=axis)
+        self._sharded_match = build_sharded_match(self, mesh, axis=axis)
+        log.info("distributed matching over %d devices",
+                 mesh.shape[axis])
+
     def match_loss_total(self, model_params, feat_syn, adj_syn_norm, key):
         """Σ_c coeff_c · match(gw_syn_c, gw_real_c) — scan over classes
-        (reference ``train_class``, ``gcond_base.py:156-241``)."""
+        (reference ``train_class``, ``gcond_base.py:156-241``); when
+        distributed matching is enabled, classes shard over the mesh."""
+        if self._sharded_match is not None:
+            return self._sharded_match(model_params, feat_syn,
+                                       adj_syn_norm, key)
         keys = jax.random.split(key, len(self.classes))
 
         def body(acc, inputs):

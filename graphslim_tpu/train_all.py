@@ -30,6 +30,8 @@ def run(args: Args):
     tracker.log_graph("original", graph_summary(
         graph.n_nodes, graph.adj.nnz))
     agent = create_reducer(args.method, graph, args)
+    if args.dist_devices > 1 and hasattr(agent, "enable_distributed"):
+        agent.enable_distributed(args.dist_devices)
     reduced = agent.reduce(graph, verbose=args.verbose)
     tracker.log_graph("reduced", graph_summary(
         reduced.n_syn,
