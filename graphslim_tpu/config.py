@@ -130,6 +130,9 @@ class Args:
     eval_whole: bool = False
     # --- distributed ----------------------------------------------------
     dist_devices: int = 0   # >1: shard gradient matching over a mesh
+    # --- profiling ------------------------------------------------------
+    profile: bool = False   # capture a jax.profiler trace of reduce()
+    resume: bool = False    # resume condensation from its last state ckpt
     # --- tracking -------------------------------------------------------
     wandb: bool = False
     wandb_project: str = "graphslim_tpu"

@@ -110,7 +110,16 @@ class GCond(CondensationBase):
 
         return jax.jit(epoch)
 
+    def _state_ckpt_path(self) -> str:
+        import os
+        args = self.args
+        return os.path.join(
+            args.save_path, "train_state", args.method,
+            f"{self.data.name}_{args.reduction_rate}_{args.seed}.npz")
+
     def _reduce(self, data: G.Dataset, verbose: bool) -> G.Reduced:
+        from graphslim_tpu.checkpoint import load_state, save_state
+
         args = self.args
         key = jax.random.key(args.seed)
         key, kp = jax.random.split(key)
@@ -120,11 +129,21 @@ class GCond(CondensationBase):
         opt_p = self.opt_pge.init(pge_params) if self.with_structure \
             else None
 
+        start_epoch = 0
+        if args.resume:
+            state, start_epoch = load_state(
+                self._state_ckpt_path(),
+                (feat_syn, pge_params, opt_f, opt_p))
+            if state is not None:
+                feat_syn, pge_params, opt_f, opt_p = state
+                log.info("resumed %s from epoch %d", args.method,
+                         start_epoch)
+
         fns = {}
         best_val, loss_avg = 0.0, 0.0
         self._best_reduced = None
         denom = max(self.nclass * args.outer_loop, 1)
-        for it in range(args.epochs):
+        for it in range(start_epoch, args.epochs):
             update_pge = (it % 50) < 10
             if update_pge not in fns:
                 fns[update_pge] = self._build_epoch_fn(update_pge)
@@ -136,6 +155,8 @@ class GCond(CondensationBase):
                 adj_syn = self.inference_adj(pge_params, feat_syn)
                 best_val = self.intermediate_evaluation(
                     feat_syn, adj_syn, best_val, it, loss_avg, verbose)
+                save_state(self._state_ckpt_path(),
+                           (feat_syn, pge_params, opt_f, opt_p), it + 1)
         if self._best_reduced is not None:
             return self._best_reduced
         adj_syn = self.inference_adj(pge_params, feat_syn)

@@ -32,7 +32,10 @@ def run(args: Args):
     agent = create_reducer(args.method, graph, args)
     if args.dist_devices > 1 and hasattr(agent, "enable_distributed"):
         agent.enable_distributed(args.dist_devices)
-    reduced = agent.reduce(graph, verbose=args.verbose)
+    from graphslim_tpu.profiling import trace
+    with trace(f"{args.save_path}/traces/{args.method}_{args.dataset}",
+               enabled=args.profile):
+        reduced = agent.reduce(graph, verbose=args.verbose)
     tracker.log_graph("reduced", graph_summary(
         reduced.n_syn,
         int((reduced.dense_adj() != 0).sum()) if reduced.adj is not None
