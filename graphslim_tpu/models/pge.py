@@ -59,19 +59,30 @@ class PGE:
 
     def _score_rows(self, params, x_rows: jax.Array, x: jax.Array
                     ) -> jax.Array:
-        """Scores for a block of rows against all columns."""
+        """Scores for a block of rows against all columns.
+
+        The first linear factorizes over the pair concatenation
+        (``[x_i|x_j] W = x_i W_a + x_j W_b``), so the [nb·n, 2d] pair
+        tensor is never materialized; matmuls run in bf16 on the MXU
+        with f32 accumulation (this MLP is the FLOPs bulk of a GCond
+        outer step at arxiv scale).
+        """
         nb, n = x_rows.shape[0], x.shape[0]
-        pair = jnp.concatenate([
-            jnp.repeat(x_rows, n, axis=0),
-            jnp.tile(x, (nb, 1)),
-        ], axis=1)
-        h = pair
         layers = params["layers"]
-        for i, p in enumerate(layers):
-            h = nn.linear_apply(p, h)
-            if i != len(layers) - 1:
-                h = nn.bn_apply(params["bns"][i], h)
-                h = jax.nn.relu(h)
+        w0 = layers[0]["w"].astype(jnp.bfloat16)
+        d = x.shape[1]
+        xr = x_rows.astype(jnp.bfloat16)
+        xc = x.astype(jnp.bfloat16)
+        a = jax.lax.dot(xr, w0[:d], preferred_element_type=jnp.float32)
+        b = jax.lax.dot(xc, w0[d:], preferred_element_type=jnp.float32)
+        h = (a[:, None, :] + b[None, :, :]).reshape(nb * n, -1)
+        h = h + layers[0]["b"]
+        for i, p in enumerate(layers[1:], start=1):
+            h = nn.bn_apply(params["bns"][i - 1], h)
+            h = jax.nn.relu(h)
+            h = jax.lax.dot(h.astype(jnp.bfloat16),
+                            p["w"].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) + p["b"]
         return h.reshape(nb, n)
 
     def apply(self, params: dict, x: jax.Array) -> jax.Array:
