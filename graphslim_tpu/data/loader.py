@@ -32,6 +32,8 @@ class DatasetSpec:
     default_setting: str  # forced trans/ind per reference config.py:223-225
     split: str = "fixed"  # default split style
     metric: str = "accuracy"
+    synth_ok: bool = True  # False → real files required (too large to
+    #                        synthesize: ogbn-products/proteins/papers100M)
 
 
 # Scales follow the reference's dataset table (efficiency.md:123-131 and
@@ -63,6 +65,15 @@ _SPECS = [
                 metric="f1_macro"),
     DatasetSpec("amazon", 11944, 25, 2, 700.0, 0.65, "standardize", "ind",
                 metric="f1_macro"),
+    DatasetSpec("cora_ml", 2995, 2879, 7, 5.5, 0.79, "row_norm", "trans",
+                "random"),
+    # Web-scale OGB datasets: ingestion-only (reference loader.py:66-68)
+    DatasetSpec("ogbn-products", 2_449_029, 100, 47, 51.5, 0.81,
+                "standardize", "trans", synth_ok=False),
+    DatasetSpec("ogbn-proteins", 132_534, 8, 2, 597.0, 0.6,
+                "standardize", "trans", synth_ok=False),
+    DatasetSpec("ogbn-papers100m", 111_059_956, 128, 172, 29.1, 0.7,
+                "standardize", "trans", synth_ok=False),
 ]
 
 DATASET_SPECS = {s.name: s for s in _SPECS}
@@ -150,6 +161,11 @@ def load(name: str, setting: Optional[str] = None, split: Optional[str]
         edge_index, feat_np, labels_np, role = loaded
         nclass = int(labels_np.max()) + 1
     else:
+        if not spec.synth_ok:
+            raise FileNotFoundError(
+                f"{name} is ingestion-only (too large to synthesize); "
+                f"provide --load_path with {name}/adj_full.npz or "
+                f"{name}.npz")
         edge_index, feat_np, labels_np = _synth_cached(name, spec)
         nclass = spec.nclass
 
