@@ -53,6 +53,9 @@ def load() -> ctypes.CDLL | None:
     lib.connected_components.restype = ctypes.c_int64
     lib.connected_components.argtypes = [i64p, i64p, ctypes.c_int64,
                                          ctypes.c_int64, i64p]
+    lib.max_weight_matching.restype = ctypes.c_int64
+    lib.max_weight_matching.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
+                                        ctypes.c_int64, i64p]
     _LIB = lib
     return lib
 
@@ -92,6 +95,33 @@ def greedy_matching(src: np.ndarray, dst: np.ndarray,
     out = np.empty(2 * src.shape[0] + 2, dtype=np.int64)
     cnt = lib.greedy_matching(_i64(src), _i64(dst), _f64(w),
                               src.shape[0], n, float(r), _i64(out))
+    return out[: 2 * cnt].reshape(-1, 2)
+
+
+def max_weight_matching(src: np.ndarray, dst: np.ndarray,
+                        weight: np.ndarray, n: int
+                        ) -> np.ndarray | None:
+    """Exact Edmonds blossom maximum-weight matching (pairs [k,2]).
+
+    Float weights are scaled to int64 at 2^24 relative resolution (the
+    duals of the primal-dual blossom stay exactly integral, so the
+    matching is exact for the scaled weights). Non-positive-weight edges
+    are ignored. Returns None without the native library.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    w = np.asarray(weight, dtype=np.float64)
+    wmax = float(w.max()) if w.size else 0.0
+    if wmax <= 0:
+        return np.zeros((0, 2), dtype=np.int64)
+    wi = np.ascontiguousarray(
+        np.maximum(np.round(w / wmax * (1 << 24)), 0).astype(np.int64))
+    out = np.empty(2 * n + 2, dtype=np.int64)
+    cnt = lib.max_weight_matching(_i64(src), _i64(dst), _i64(wi),
+                                  src.shape[0], n, _i64(out))
     return out[: 2 * cnt].reshape(-1, 2)
 
 

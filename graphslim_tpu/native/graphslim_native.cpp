@@ -12,17 +12,328 @@
 //   * t_spanner            — greedy spanner with bounded Dijkstra
 //                            (reference t_spanner.py via nk)
 //   * connected_components — union-find
+//   * max_weight_matching  — exact Edmonds blossom matching, O(n^3)
+//                            (the reference's `matching_optimal`,
+//                            coarsening/utils.py:34,1787 — vendored
+//                            maxWeightMatching; here a first-party
+//                            primal-dual blossom implementation)
 //
 // Exposed through a plain C ABI for ctypes (no pybind11 dependency).
 
 #include <algorithm>
 #include <cstdint>
+#include <deque>
 #include <functional>
 #include <cstring>
 #include <limits>
 #include <queue>
 #include <utility>
 #include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Exact maximum-weight matching on a general graph (Edmonds blossom).
+//
+// Primal-dual O(n^3) implementation. Vertex duals are stored doubled
+// (lab = 2*y) so all updates stay integral for integer edge weights;
+// edge slack in those units is lab[u] + lab[v] - 2*w(u,v). Vertices are
+// 1-indexed internally; slots n+1..2n hold contracted blossoms. Only
+// maximizes total weight (non-perfect, like the reference's
+// maxWeightMatching with maxcardinality=False): the search stops when a
+// free outer vertex's dual would drop below zero.
+// ---------------------------------------------------------------------------
+class MaxWeightMatching {
+ public:
+  explicit MaxWeightMatching(int n)
+      : n_(n), n_x_(n),
+        g_((2 * n + 1) * (2 * n + 1)),
+        lab_(2 * n + 1, 0), match_(2 * n + 1, 0), slack_(2 * n + 1, 0),
+        st_(2 * n + 1, 0), pa_(2 * n + 1, 0), S_(2 * n + 1, -1),
+        vis_(2 * n + 1, 0), flower_(2 * n + 1),
+        flower_from_((2 * n + 1) * (n + 1), 0) {
+    for (int u = 0; u <= 2 * n; ++u)
+      for (int v = 0; v <= 2 * n; ++v) edge(u, v) = {u, v, 0};
+  }
+
+  // w must be > 0 (0 encodes "no edge").
+  void add_edge(int u, int v, int64_t w) {
+    edge(u, v).w = edge(v, u).w = w;
+  }
+
+  int64_t weight(int u, int v) { return edge(u, v).w; }
+
+  // Runs the algorithm; match(u) is the partner of u (0 if unmatched).
+  void solve() {
+    for (int u = 0; u <= n_; ++u) st_[u] = u;
+    int64_t w_max = 0;
+    for (int u = 1; u <= n_; ++u)
+      for (int v = 1; v <= n_; ++v) {
+        ff(u, v) = (u == v ? u : 0);
+        w_max = std::max(w_max, edge(u, v).w);
+      }
+    for (int u = 1; u <= n_; ++u) lab_[u] = w_max;
+    while (matching()) {
+    }
+  }
+
+  int match(int u) const { return match_[u]; }
+
+ private:
+  struct E {
+    int u, v;
+    int64_t w;
+  };
+  static constexpr int64_t kInf = std::numeric_limits<int64_t>::max() / 4;
+
+  E& edge(int u, int v) { return g_[u * (2 * n_ + 1) + v]; }
+  int& ff(int b, int x) { return flower_from_[b * (n_ + 1) + x]; }
+
+  int64_t e_delta(const E& e) {
+    return lab_[e.u] + lab_[e.v] - edge(e.u, e.v).w * 2;
+  }
+  void update_slack(int u, int x) {
+    if (!slack_[x] || e_delta(edge(u, x)) < e_delta(edge(slack_[x], x)))
+      slack_[x] = u;
+  }
+  void set_slack(int x) {
+    slack_[x] = 0;
+    for (int u = 1; u <= n_; ++u)
+      if (edge(u, x).w > 0 && st_[u] != x && S_[st_[u]] == 0)
+        update_slack(u, x);
+  }
+  void q_push(int x) {
+    if (x <= n_) {
+      q_.push_back(x);
+    } else {
+      for (int i : flower_[x]) q_push(i);
+    }
+  }
+  void set_st(int x, int b) {
+    st_[x] = b;
+    if (x > n_)
+      for (int i : flower_[x]) set_st(i, b);
+  }
+  int get_pr(int b, int xr) {
+    int pr = static_cast<int>(
+        std::find(flower_[b].begin(), flower_[b].end(), xr) -
+        flower_[b].begin());
+    if (pr % 2 == 1) {  // walk the stem the other way round
+      std::reverse(flower_[b].begin() + 1, flower_[b].end());
+      return static_cast<int>(flower_[b].size()) - pr;
+    }
+    return pr;
+  }
+  void set_match(int u, int v) {
+    match_[u] = edge(u, v).v;
+    if (u > n_) {
+      E e = edge(u, v);
+      int xr = ff(u, e.u);
+      int pr = get_pr(u, xr);
+      for (int i = 0; i < pr; ++i)
+        set_match(flower_[u][i], flower_[u][i ^ 1]);
+      set_match(xr, v);
+      std::rotate(flower_[u].begin(), flower_[u].begin() + pr,
+                  flower_[u].end());
+    }
+  }
+  void augment(int u, int v) {
+    for (;;) {
+      int xnv = st_[match_[u]];
+      set_match(u, v);
+      if (!xnv) return;
+      set_match(xnv, st_[pa_[xnv]]);
+      u = st_[pa_[xnv]];
+      v = xnv;
+    }
+  }
+  int get_lca(int u, int v) {
+    ++t_;
+    for (; u || v; std::swap(u, v)) {
+      if (u == 0) continue;
+      if (vis_[u] == t_) return u;
+      vis_[u] = t_;
+      u = st_[match_[u]];
+      if (u) u = st_[pa_[u]];
+    }
+    return 0;
+  }
+  void add_blossom(int u, int lca, int v) {
+    int b = n_ + 1;
+    while (b <= n_x_ && st_[b]) ++b;
+    if (b > n_x_) ++n_x_;
+    lab_[b] = 0;
+    S_[b] = 0;
+    match_[b] = match_[lca];
+    flower_[b].clear();
+    flower_[b].push_back(lca);
+    for (int x = u, y; x != lca; x = st_[pa_[y]]) {
+      flower_[b].push_back(x);
+      flower_[b].push_back(y = st_[match_[x]]);
+      q_push(y);
+    }
+    std::reverse(flower_[b].begin() + 1, flower_[b].end());
+    for (int x = v, y; x != lca; x = st_[pa_[y]]) {
+      flower_[b].push_back(x);
+      flower_[b].push_back(y = st_[match_[x]]);
+      q_push(y);
+    }
+    set_st(b, b);
+    for (int x = 1; x <= n_x_; ++x) edge(b, x).w = edge(x, b).w = 0;
+    for (int x = 1; x <= n_; ++x) ff(b, x) = 0;
+    for (int xs : flower_[b]) {
+      for (int x = 1; x <= n_x_; ++x)
+        if (edge(b, x).w == 0 || e_delta(edge(xs, x)) < e_delta(edge(b, x))) {
+          edge(b, x) = edge(xs, x);
+          edge(x, b) = edge(x, xs);
+        }
+      for (int x = 1; x <= n_; ++x)
+        if (ff(xs, x)) ff(b, x) = xs;
+    }
+    set_slack(b);
+  }
+  void expand_blossom(int b) {
+    for (int i : flower_[b]) set_st(i, i);
+    int xr = ff(b, edge(b, pa_[b]).u);
+    int pr = get_pr(b, xr);
+    for (int i = 0; i < pr; i += 2) {
+      int xs = flower_[b][i], xns = flower_[b][i + 1];
+      pa_[xs] = edge(xns, xs).u;
+      S_[xs] = 1;
+      S_[xns] = 0;
+      slack_[xs] = 0;
+      set_slack(xns);
+      q_push(xns);
+    }
+    S_[xr] = 1;
+    pa_[xr] = pa_[b];
+    for (size_t i = pr + 1; i < flower_[b].size(); ++i) {
+      int xs = flower_[b][i];
+      S_[xs] = -1;
+      set_slack(xs);
+    }
+    st_[b] = 0;
+  }
+  bool on_found_edge(const E& e) {
+    int u = st_[e.u], v = st_[e.v];
+    if (S_[v] == -1) {
+      pa_[v] = e.u;
+      S_[v] = 1;
+      int nu = st_[match_[v]];
+      slack_[v] = slack_[nu] = 0;
+      S_[nu] = 0;
+      q_push(nu);
+    } else if (S_[v] == 0) {
+      int lca = get_lca(u, v);
+      if (!lca) {
+        augment(u, v);
+        augment(v, u);
+        return true;
+      }
+      add_blossom(u, lca, v);
+    }
+    return false;
+  }
+  bool matching() {
+    std::fill(S_.begin(), S_.begin() + n_x_ + 1, -1);
+    std::fill(slack_.begin(), slack_.begin() + n_x_ + 1, 0);
+    q_.clear();
+    for (int x = 1; x <= n_x_; ++x)
+      if (st_[x] == x && !match_[x]) {
+        pa_[x] = 0;
+        S_[x] = 0;
+        q_push(x);
+      }
+    if (q_.empty()) return false;
+    for (;;) {
+      while (!q_.empty()) {
+        int u = q_.front();
+        q_.pop_front();
+        if (S_[st_[u]] == 1) continue;
+        for (int v = 1; v <= n_; ++v)
+          if (edge(u, v).w > 0 && st_[u] != st_[v]) {
+            if (e_delta(edge(u, v)) == 0) {
+              if (on_found_edge(edge(u, v))) return true;
+            } else {
+              update_slack(u, st_[v]);
+            }
+          }
+      }
+      int64_t d = kInf;
+      for (int b = n_ + 1; b <= n_x_; ++b)
+        if (st_[b] == b && S_[b] == 1) d = std::min(d, lab_[b] / 2);
+      for (int x = 1; x <= n_x_; ++x)
+        if (st_[x] == x && slack_[x]) {
+          if (S_[x] == -1)
+            d = std::min(d, e_delta(edge(slack_[x], x)));
+          else if (S_[x] == 0)
+            d = std::min(d, e_delta(edge(slack_[x], x)) / 2);
+        }
+      for (int u = 1; u <= n_; ++u) {
+        if (S_[st_[u]] == 0) {
+          if (lab_[u] <= d) return false;  // dual would hit 0: done
+          lab_[u] -= d;
+        } else if (S_[st_[u]] == 1) {
+          lab_[u] += d;
+        }
+      }
+      for (int b = n_ + 1; b <= n_x_; ++b)
+        if (st_[b] == b) {
+          if (S_[b] == 0)
+            lab_[b] += d * 2;
+          else if (S_[b] == 1)
+            lab_[b] -= d * 2;
+        }
+      q_.clear();
+      for (int x = 1; x <= n_x_; ++x)
+        if (st_[x] == x && slack_[x] && st_[slack_[x]] != x &&
+            e_delta(edge(slack_[x], x)) == 0)
+          if (on_found_edge(edge(slack_[x], x))) return true;
+      for (int b = n_ + 1; b <= n_x_; ++b)
+        if (st_[b] == b && S_[b] == 1 && lab_[b] == 0) expand_blossom(b);
+    }
+  }
+
+  int n_, n_x_, t_ = 0;
+  std::vector<E> g_;
+  std::vector<int64_t> lab_;
+  std::vector<int> match_, slack_, st_, pa_, S_, vis_;
+  std::vector<std::vector<int>> flower_;
+  std::vector<int> flower_from_;
+  std::deque<int> q_;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Exact maximum-weight matching (Edmonds blossom). Nodes 0..n-1; parallel
+// edges keep the max weight. Weights are int64 and must be >= 1 for a
+// usable edge (w <= 0 edges are ignored). Writes matched pairs (i < j)
+// into out_pairs (2 entries per match); returns the number of matches.
+int64_t max_weight_matching(const int64_t* src, const int64_t* dst,
+                            const int64_t* weight, int64_t m, int64_t n,
+                            int64_t* out_pairs) {
+  MaxWeightMatching mw(static_cast<int>(n));
+  for (int64_t e = 0; e < m; ++e) {
+    if (src[e] == dst[e] || weight[e] <= 0) continue;
+    int u = static_cast<int>(src[e]) + 1, v = static_cast<int>(dst[e]) + 1;
+    if (weight[e] > mw.weight(u, v)) mw.add_edge(u, v, weight[e]);
+  }
+  mw.solve();
+  int64_t out = 0;
+  for (int u = 1; u <= n; ++u) {
+    int v = mw.match(u);
+    if (v > u) {
+      out_pairs[2 * out] = u - 1;
+      out_pairs[2 * out + 1] = v - 1;
+      ++out;
+    }
+  }
+  return out;
+}
+
+}  // extern "C"
 
 extern "C" {
 

@@ -183,6 +183,36 @@ def _greedy_matching(edges: np.ndarray, weights: np.ndarray, n: int,
     return out
 
 
+def _optimal_matching(edges: np.ndarray, costs: np.ndarray, n: int,
+                      r: float) -> list[np.ndarray]:
+    """Exact minimum-cost matching (reference ``matching_optimal``,
+    ``coarsening/utils.py:1787-1866``): maximize Σ(max_cost − cost) over a
+    matching with the native Edmonds blossom (O(n³)), then keep the
+    ``ceil(r·n)`` cheapest matched pairs.  Falls back to greedy without
+    the native library or above the O(n³) practicality cutoff."""
+    from graphslim_tpu import native
+    costs = np.asarray(costs, dtype=np.float64)
+    if n > 3000:  # O(n³): ~minutes beyond this; reference has the same wall
+        log.warning("optimal matching: component n=%d > 3000, using greedy",
+                    n)
+        return _greedy_matching(edges, -costs, n, r)
+    pairs = native.max_weight_matching(edges[0], edges[1],
+                                       costs.max() - costs, n)
+    if pairs is None:
+        return _greedy_matching(edges, -costs, n, r)
+    lut: dict[tuple[int, int], float] = {}
+    for e in range(edges.shape[1]):
+        a, b = int(edges[0, e]), int(edges[1, e])
+        key = (a, b) if a < b else (b, a)
+        c = float(costs[e])
+        if key not in lut or c < lut[key]:
+            lut[key] = c
+    pair_costs = np.array([lut[(min(i, j), max(i, j))] for i, j in pairs])
+    keep = min(int(np.ceil(r * n)), len(pairs))
+    idx = np.argsort(pair_costs)[:keep]
+    return [np.asarray(pairs[k]) for k in idx]
+
+
 def _jacobi_vectors(W, num_vectors=10, iterations=20, seed=0):
     """x ← x/2 + D⁻¹(D−L)x/2 smoothing (reference ``utils.py:1764-1778``)."""
     n = W.shape[0]
@@ -374,9 +404,7 @@ class VariationEdges(CoarsenBase):
             _edge_cost(deg, B, int(i), int(j), float(w))
             for i, j, w in zip(Wu.row, Wu.col, Wu.data)])
         if self.args.coarsen_strategy == "optimal":
-            # blossom-based optimal matching is the C++ extension path;
-            # greedy is the reference default
-            pass
+            return _optimal_matching(edges, costs, n, r_cur)
         return _greedy_matching(edges, -costs, n, r_cur)
 
 
@@ -445,6 +473,9 @@ class _ProximityCoarsen(CoarsenBase):
 
     def contract_sets(self, W, B, r_cur):
         edges, prox = self._proximity(W)
+        if self.args.coarsen_strategy == "optimal":
+            # reference heavy_edge.py:54-59: minimize −proximity exactly
+            return _optimal_matching(edges, -prox, W.shape[0], r_cur)
         return _greedy_matching(edges, prox, W.shape[0], r_cur)
 
 

@@ -85,3 +85,62 @@ def test_jaccard_scores_sane(synth_dataset):
         u, v = edges[:, e]
         expected = int(np.sum(Wb[u] & Wb[v]))
         assert common[e] == expected
+
+
+# ---------------------------------------------------------------------------
+# Optimal (blossom) matching strategy
+# ---------------------------------------------------------------------------
+
+def test_native_blossom_exact_vs_bruteforce():
+    """Native Edmonds blossom matches a bitmask-DP oracle exactly."""
+    import itertools
+    from graphslim_tpu import native
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        n = int(rng.integers(2, 11))
+        edges = [(i, j) for i, j in itertools.combinations(range(n), 2)
+                 if rng.random() < 0.6]
+        if not edges:
+            continue
+        src = np.array([e[0] for e in edges])
+        dst = np.array([e[1] for e in edges])
+        w = rng.integers(1, 20, size=len(edges)).astype(np.float64)
+        pairs = native.max_weight_matching(src, dst, w, n)
+        W = np.zeros((n, n))
+        W[src, dst] = w
+        W += W.T
+        got = sum(W[i, j] for i, j in pairs)
+        # oracle: DP over vertex subsets
+        best = np.full(1 << n, -1.0)
+        best[0] = 0.0
+        for mask in range(1 << n):
+            if best[mask] < 0:
+                continue
+            i = 0
+            while i < n and (mask >> i) & 1:
+                i += 1
+            if i == n:
+                continue
+            m2 = mask | (1 << i)
+            best[m2] = max(best[m2], best[mask])
+            for j in range(i + 1, n):
+                if not (mask >> j) & 1 and W[i, j] > 0:
+                    m3 = m2 | (1 << j)
+                    best[m3] = max(best[m3], best[mask] + W[i, j])
+        assert got == best[-1], (n, got, best[-1])
+        flat = pairs.ravel().tolist()
+        assert len(set(flat)) == len(flat)
+
+
+@pytest.mark.parametrize("method", ["heavy_edge", "variation_edges",
+                                    "algebraic_jc"])
+def test_coarsening_optimal_strategy(tmp_path, synth_dataset, method):
+    """coarsen_strategy=optimal (reference `matching_optimal`) end-to-end."""
+    ds = synth_dataset
+    args = _args(tmp_path, method, coarsen_strategy="optimal")
+    red = create_reducer(method, ds, args).reduce(ds)
+    assert 0 < red.n_syn < ds.n_nodes
+    (mean, _), _ = Evaluator(ds, args).evaluate(red, "GCN")
+    assert mean > 0.4, (method, mean, red.n_syn)
