@@ -26,6 +26,7 @@ class PGEConfig:
     nhid: int = 128
     nlayers: int = 3
     row_block: int = 0      # 0 = single shot; else lax.map over row blocks
+    backend: str = "auto"   # 'auto' | 'xla' | 'pallas'
 
     @staticmethod
     def for_dataset(nfeat: int, nnodes: int, dataset: str,
@@ -85,10 +86,44 @@ class PGE:
                             preferred_element_type=jnp.float32) + p["b"]
         return h.reshape(nb, n)
 
+    def _use_pallas(self) -> bool:
+        c = self.cfg
+        if c.backend == "pallas":
+            return True
+        if c.backend != "auto":
+            return False
+        return (c.nnodes >= 512 and c.nlayers >= 3
+                and jax.default_backend() == "tpu")
+
+    def _pallas_scores(self, params: dict, x: jax.Array) -> jax.Array:
+        """Fused tile-resident pair MLP (kernels/pallas_pge.py): reads the
+        factorized projections, writes only the n×n scores."""
+        from graphslim_tpu.kernels import pallas_pge
+
+        c = self.cfg
+        layers = params["layers"]
+        d = x.shape[1]
+        w0 = layers[0]["w"]
+        xf = x.astype(jnp.float32)
+        a = xf @ w0[:d].astype(jnp.float32)
+        b = xf @ w0[d:].astype(jnp.float32) + layers[0]["b"]
+        wmid = jnp.stack([p["w"] for p in layers[1:-1]]) \
+            if c.nlayers > 2 else jnp.zeros((0, c.nhid, c.nhid), jnp.float32)
+        bmid = jnp.stack([p["b"] for p in layers[1:-1]]) \
+            if c.nlayers > 2 else jnp.zeros((0, c.nhid), jnp.float32)
+        gamma = jnp.stack([p["scale"] for p in params["bns"]])
+        beta = jnp.stack([p["bias"] for p in params["bns"]])
+        wlast = layers[-1]["w"].reshape(1, -1)
+        scores = pallas_pge.pair_scores(a, b, wmid, bmid, gamma, beta,
+                                        wlast, c.nnodes)
+        return scores + layers[-1]["b"][0]
+
     def apply(self, params: dict, x: jax.Array) -> jax.Array:
         c = self.cfg
         n = c.nnodes
-        if c.row_block:
+        if self._use_pallas():
+            adj = self._pallas_scores(params, x)
+        elif c.row_block:
             # Blocked scoring with rematerialization: backward recomputes
             # each block's MLP activations instead of keeping the full
             # [n², nhid] tensor live.

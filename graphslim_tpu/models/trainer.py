@@ -38,7 +38,7 @@ class TrainConfig:
     lr: float = 0.01
     weight_decay: float = 5e-4
     metric: str = "accuracy"
-    loss: str = "nll"  # 'nll' | 'soft' | 'mse'
+    loss: str = "nll"  # 'nll' | 'soft' | 'mse' | 'bce'
     dropout_in_train: bool = True
 
 
@@ -64,6 +64,12 @@ def _loss_fn(cfg: TrainConfig, log_probs, y, idx):
         # Reference applies MSE directly to the log-softmax output
         # (``base.py:121-124``).
         return jnp.mean((log_probs - y) ** 2)
+    if cfg.loss == "bce":
+        # Reference nclass==1 binary path (``base.py:117-118``).
+        logit = log_probs[..., 0] if log_probs.ndim == 2 else log_probs
+        yf = y.astype(logit.dtype)
+        return jnp.mean(jnp.maximum(logit, 0) - logit * yf +
+                        jnp.log1p(jnp.exp(-jnp.abs(logit))))
     return utils.nll_loss(log_probs, y)
 
 

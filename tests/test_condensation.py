@@ -85,7 +85,10 @@ def _run(method, ds, tmp_path, **extra):
 
 @pytest.mark.parametrize("method", ["gcond", "doscond"])
 def test_gcond_structured(tmp_path, synth_dataset, method):
-    red, acc = _run(method, synth_dataset, tmp_path)
+    # doscond (one optimizer step per outer iter) needs a hotter lr to
+    # converge inside the 4-epoch test budget robustly across RNG streams
+    extra = {"lr_feat": 0.03, "lr_adj": 0.03} if method == "doscond" else {}
+    red, acc = _run(method, synth_dataset, tmp_path, **extra)
     assert red.adj is not None
     adj = np.asarray(red.adj)
     assert adj.shape == (red.n_syn, red.n_syn)

@@ -154,3 +154,18 @@ def test_multi_seed_eval(synth_dataset):
     # params stacked along seed axis
     leaf = jax.tree.leaves(params)[0]
     assert leaf.shape[0] == 3
+
+
+def test_bce_loss_matches_torch_semantics():
+    """'bce' branch (reference base.py:117-118 nclass==1) == stable BCE."""
+    import numpy as np
+    import jax.numpy as jnp
+    from graphslim_tpu.models.trainer import TrainConfig, _loss_fn
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.standard_normal((8, 1)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, 2, 8))
+    got = float(_loss_fn(TrainConfig(loss="bce"), logits, y, None))
+    p = 1 / (1 + np.exp(-np.asarray(logits[:, 0])))
+    want = -np.mean(np.asarray(y) * np.log(p) +
+                    (1 - np.asarray(y)) * np.log(1 - p))
+    assert abs(got - want) < 1e-6
