@@ -14,4 +14,5 @@ is a new TPU-native design:
 """
 
 from graphslim_tpu.dist.mesh import make_mesh
-from graphslim_tpu.dist.spmm import shard_spmm, partition_rows
+from graphslim_tpu.dist.spmm import (shard_spmm, shard_spmm_halo,
+                                     partition_rows, partition_rows_halo)
