@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def pad_classes(n_class: int, n_shards: int) -> int:
@@ -99,7 +99,7 @@ def build_sharded_match(engine, mesh: Mesh, axis: str = "data"):
 
         # carry must be marked device-varying for the manual-axes type
         # system (shard_map + scan)
-        acc0 = jax.lax.pvary(jnp.float32(0.0), (axis,))
+        acc0 = jax.lax.pcast(jnp.float32(0.0), axis, to='varying')
         total, _ = jax.lax.scan(
             body, acc0, (keys, pools_l, counts_l, masks_l, coeffs_l))
         return jax.lax.psum(total, axis)
