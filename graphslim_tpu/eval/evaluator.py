@@ -143,8 +143,34 @@ class Evaluator:
                              test[3], metric=a.metric)
             return acc, best_val
 
-        accs, best_vals = jax.vmap(one)(keys)
-        accs = np.asarray(accs)
+        # Seed-vmap width is HBM-bounded on large full graphs: the test
+        # forward's gather buffers scale with runs × nnz × d.  Chunk the
+        # vmap so the working set stays inside one chip's HBM (16 GB
+        # v5e); every chunk has equal width, so it is one compiled
+        # program reused across chunks.
+        adj_t = test[1]
+        nnz_t = getattr(adj_t, "nnz", None)
+        if nnz_t is None:
+            chunk = runs
+        else:
+            nnz_t = nnz_t() if callable(nnz_t) else nnz_t
+            per_seed = int(nnz_t) * int(test[0].shape[-1])
+            budget = int(2e8)   # ≈0.8 GB of f32 gather buffers per chunk
+            chunk = budget // max(per_seed, 1)
+        chunk = max(1, min(runs, chunk))
+        n_chunks = -(-runs // chunk)
+        chunk = -(-runs // n_chunks)          # equal widths: one program
+        if n_chunks * chunk > runs:           # pad keys, drop extras below
+            keys = jax.random.split(jax.random.key(seed),
+                                    n_chunks * chunk)
+        acc_parts, val_parts = [], []
+        vone = jax.vmap(one)
+        for lo in range(0, n_chunks * chunk, chunk):
+            a_c, v_c = vone(keys[lo:lo + chunk])
+            acc_parts.append(np.asarray(a_c))
+            val_parts.append(np.asarray(v_c))
+        accs = np.concatenate(acc_parts)[:runs]
+        best_vals = np.concatenate(val_parts)[:runs]
         mean, std = float(accs.mean()), float(accs.std())
         log.info("eval[%s] %d runs: %.4f ± %.4f", model_type, runs, mean,
                  std)

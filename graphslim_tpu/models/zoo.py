@@ -16,14 +16,13 @@ graphsage}.py`` + ``models/layers.py``.  Semantics preserved:
 
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 
 from graphslim_tpu.models import nn
 from graphslim_tpu.models.base import (
-    GNNModel, ModelConfig, aggregate, layer_aggregate, block_level_adj,
+    GNNModel, ModelConfig, layer_aggregate, block_level_adj,
 )
 
 
