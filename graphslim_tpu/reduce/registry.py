@@ -77,6 +77,9 @@ _SPECS = [
     MethodSpec("simgc", "condensation", "simgc", "SimGC"),
     MethodSpec("gdem", "condensation", "gdem", "GDEM"),
     MethodSpec("gecc", "condensation", "gecc", "GECC"),
+    # Unregistered upstream (``condensation/__init__.py:13`` commented
+    # out, imports an unbundled compiled dep); complete + registered here.
+    MethodSpec("mirage", "condensation", "mirage", "Mirage"),
 ]
 
 _ALIASES = {

@@ -85,3 +85,41 @@ def test_msgc_proportional_labels():
     counts = np.bincount(y, minlength=3)
     assert counts.min() >= 1
     assert counts[0] > counts[2]
+
+
+def test_mirage(tmp_path, synth_dataset):
+    """Mirage: WL-tree mining condensation (reference mirage.py:17-230,
+    unregistered upstream) runs end-to-end and evaluates well."""
+    ds = synth_dataset
+    base = dict(dataset="synth-small", method="mirage",
+                save_path=str(tmp_path), eval_epochs=50, run_eval=2)
+    args = finalize(Args(**base), explicit=set(base))
+    red = create_reducer("mirage", ds, args).reduce(ds)
+    assert red.feat.shape[0] == red.labels.shape[0] > 0
+    # budget respected: n_syn <= ~r * n_train (+1 per class rounding)
+    assert red.feat.shape[0] <= int(ds.n_nodes * args.reduction_rate) + ds.nclass
+    (mean, _), _ = Evaluator(ds, args).evaluate(red, "GCN")
+    assert mean > 0.7, mean
+
+
+def test_mirage_fpgrowth_matches_bruteforce():
+    """FP-growth output equals brute-force frequent-itemset enumeration."""
+    import itertools
+    from graphslim_tpu.reduce.mirage import fpgrowth
+
+    rng = np.random.default_rng(3)
+    transactions = [tuple(sorted(set(rng.integers(0, 8, size=rng.integers(1, 6)))))
+                    for _ in range(30)]
+    min_support = 5
+    got = {tuple(sorted(p)): c
+           for p, c in fpgrowth(transactions, min_support).items()}
+    # brute force over all itemsets up to size 4
+    items = sorted({i for t in transactions for i in t})
+    want = {}
+    for k in range(1, 5):
+        for combo in itertools.combinations(items, k):
+            s = sum(1 for t in transactions if set(combo) <= set(t))
+            if s >= min_support:
+                want[tuple(combo)] = s
+    got_k = {p: c for p, c in got.items() if len(p) <= 4}
+    assert got_k == want
