@@ -61,6 +61,20 @@ def test_registry():
     assert len(list_methods()) >= 30
     with pytest.raises(ValueError):
         get_method_spec("nope")
+    # full surface pin: every reference registry name (registry.py:41-142)
+    # must resolve, plus first-party mirage
+    reference_names = [
+        "random", "kcenter", "kcenter_sample", "herding", "cent_d",
+        "cent_p", "random_edge", "g_spar", "local_degree", "scan",
+        "spanning_forest", "rank_degree", "t_spanner",
+        "variation_neighborhoods", "variation_edges", "variation_cliques",
+        "heavy_edge", "algebraic_jc", "affinity_gs", "kron", "clustering",
+        "averaging", "vng", "gcond", "doscond", "gcondx", "doscondx",
+        "gcdm", "gcdmx", "sgdd", "msgc", "sfgc", "geom", "gcsntk",
+        "simgc", "gdem", "gecc",
+    ]
+    assert set(list_methods()) == set(reference_names) | {"mirage"}
+    assert get_method_spec("mirage").family == "condensation"
 
 
 def test_config_precedence():
