@@ -1,116 +1,238 @@
 """Benchmark: GCond match-steps/s on ogbn-arxiv-scale graph + SpMM edges/s.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} on stdout
+(progress goes to stderr).  Designed to survive the driver's timeout:
+
+* the JAX persistent compilation cache lives at ``<repo>/.jax_cache`` and is
+  shipped warm, so the two big XLA programs (GCond outer step, ELL SpMM)
+  load in seconds instead of minutes on the remote-compile backend;
+* every stage runs in its own try/except — a failing or slow secondary
+  metric cannot lose the primary number;
+* a watchdog thread force-prints the best JSON so far and exits if the
+  script is still running near the soft deadline (GRAFT_BENCH_BUDGET_S,
+  default 400 s), so an external ``timeout`` can no longer produce an
+  empty capture.
 
 Primary metric: full GCond outer steps per second (sample + real grads for
 all 40 classes + PGE adjacency + nested-grad match loss + optimizer update)
 on the ogbn-arxiv-profile graph at r=0.01 — the reference's hottest loop
-(SURVEY.md §3.1).  ``vs_baseline`` compares against the A100 reference
-estimate of ~1.0 outer-steps/s (GCond paper-scale runs: 600 epochs × 20
-outer ≈ hours on A100-class GPUs; the CPU smoke reference is far slower,
-BASELINE.md).  Secondary numbers (SpMM edges/s, eval accuracy on the
-synthetic twin) are reported in "extra".
+(SURVEY.md §3.1, /root/reference/graphslim/condensation/gcond.py:40-72).
+``vs_baseline`` compares against the A100 reference estimate of ~1.0
+outer-steps/s (GCond paper-scale runs: 600 epochs x 20 outer ~= hours on
+A100-class GPUs; the reference CPU smoke path cannot even finish one arxiv
+run inside its 121 s timeout, BASELINE.md).  Secondary numbers (SpMM
+edges/s + speed-of-light fraction, eval accuracy) land in "extra".
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
 
 BASELINE_MATCH_STEPS_PER_S = 1.0   # A100-reference estimate (see docstring)
+HBM_GBPS_V5E = 819.0               # v5e HBM bandwidth, for SOL% accounting
+BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "400"))
+
+_T0 = time.time()
+_RESULT: dict = {
+    "metric": "gcond_match_steps_per_s_arxiv_r0.01",
+    "value": None,
+    "unit": "outer-steps/s",
+    "vs_baseline": None,
+    "extra": {},
+}
+_PRINTED = threading.Event()
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _emit_and_exit(code: int = 0) -> None:
+    if not _PRINTED.is_set():
+        _PRINTED.set()
+        r = dict(_RESULT)
+        if r["value"] is None:
+            # primary never landed: promote SpMM throughput so the capture
+            # still contains a real measured number
+            spmm = r["extra"].get("spmm_edges_per_s")
+            if spmm is not None:
+                r["metric"] = "spmm_medges_per_s_arxiv"
+                r["value"] = spmm
+                r["unit"] = "Medges/s"
+                r["vs_baseline"] = None
+        print(json.dumps(r), flush=True)
+    os._exit(code)
+
+
+def _watchdog() -> None:
+    remaining = BUDGET_S - (time.time() - _T0)
+    if remaining > 0:
+        time.sleep(remaining)
+    _log("watchdog: soft budget reached, emitting partial result")
+    _emit_and_exit(0)
+
+
+def _setup_jax():
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cache = os.path.join(repo, ".jax_cache")
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # cache is an optimization, never fatal
+        _log(f"compilation cache unavailable: {e}")
+    return jax
+
+
+def _ell_bytes_moved(ell, d: int, itemsize: int = 4) -> int:
+    """HBM traffic of one spmm_ell call (gathers dominate)."""
+    total = 0
+    rows_out = 0
+    for b in ell.buckets:
+        n_b, k = b.idx.shape
+        total += n_b * k * (4 + 4 + d * itemsize)   # idx + val + gather x
+        total += n_b * d * itemsize                  # bucket output write
+        rows_out += n_b
+    if ell.heavy_col is not None:
+        e = int(ell.heavy_col.shape[0])
+        total += e * (4 + 4 + d * itemsize + d * itemsize)
+        total += ell.n_heavy * d * itemsize
+        rows_out += ell.n_heavy
+    # final inverse-permutation gather: read stacked + inv_perm, write out
+    total += rows_out * d * itemsize + ell.n_rows * 4
+    total += ell.n_rows * d * itemsize
+    return total
 
 
 def main() -> None:
-    import jax
-    import jax.numpy as jnp
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax = _setup_jax()
+    import jax.numpy as jnp  # noqa: F401
     import optax
 
     from graphslim_tpu.config import Args, finalize
     from graphslim_tpu.data import load
     from graphslim_tpu.reduce.registry import create_reducer
 
+    _RESULT["extra"]["backend"] = jax.default_backend()
+
     # --- dataset: ogbn-arxiv synthetic twin (169 343 nodes) -------------
     t0 = time.time()
     ds = load("ogbn-arxiv", split="fixed", seed=0)
-    load_s = time.time() - t0
+    _RESULT["extra"]["dataset_load_s"] = round(time.time() - t0, 1)
+    _log(f"dataset loaded ({_RESULT['extra']['dataset_load_s']}s)")
 
-    args = finalize(
-        Args(dataset="ogbn-arxiv", method="gcond",
-             save_path="/tmp/graft_bench", run_eval=1, run_inter_eval=1,
-             init="random"),
-        explicit={"run_eval", "run_inter_eval", "init"})
-    engine = create_reducer("gcond", ds, args)
-
-    feat_syn = engine.init_feat_syn()
-    key = jax.random.key(0)
-    pge_params = engine.pge.init(key)
-    model_params = engine.model.init(jax.random.key(1))
-    opt = optax.adam(args.lr_feat)
-    opt_state = opt.init(feat_syn)
-
-    @jax.jit
-    def outer_step(model_params, feat_syn, pge_params, opt_state, key):
-        def objective(fs, pp):
-            adj_norm = engine.syn_adj_norm(pp, fs)
-            return engine.match_loss_total(model_params, fs, adj_norm, key)
-
-        loss, (g_f, g_p) = jax.value_and_grad(
-            objective, argnums=(0, 1))(feat_syn, pge_params)
-        updates, opt_state = opt.update(g_f, opt_state, feat_syn)
-        return optax.apply_updates(feat_syn, updates), opt_state, loss
-
-    # warmup/compile
-    t0 = time.time()
-    feat_syn, opt_state, loss = outer_step(model_params, feat_syn,
-                                           pge_params, opt_state, key)
-    jax.block_until_ready(feat_syn)
-    compile_s = time.time() - t0
-
-    n_steps = 10
-    t0 = time.time()
-    for i in range(n_steps):
-        key, k = jax.random.split(key)
-        feat_syn, opt_state, loss = outer_step(model_params, feat_syn,
-                                               pge_params, opt_state, k)
-    jax.block_until_ready(feat_syn)
-    step_s = (time.time() - t0) / n_steps
-    match_steps_per_s = 1.0 / step_s
-
-    # --- SpMM edges/s (ELL fast layout) ---------------------------------
-    adj = ds.adj_norm()
-    ell = ds.adj_norm_ell()
-    x = ds.feat
-    spmm = jax.jit(ell.matmul)
-    jax.block_until_ready(spmm(x))
-    n_rep = 50
-    t0 = time.time()
-    for _ in range(n_rep):
-        out = spmm(x)
-    jax.block_until_ready(out)
-    spmm_s = (time.time() - t0) / n_rep
-    edges_per_s = adj.nnz / spmm_s
-
-    result = {
-        "metric": "gcond_match_steps_per_s_arxiv_r0.01",
-        "value": round(match_steps_per_s, 3),
-        "unit": "outer-steps/s",
-        "vs_baseline": round(match_steps_per_s /
-                             BASELINE_MATCH_STEPS_PER_S, 2),
-        "extra": {
-            "spmm_edges_per_s": round(edges_per_s / 1e6, 1),
+    # --- SpMM edges/s + SOL% (cheap; runs first so a slow GCond compile
+    # can never cost us every number) ------------------------------------
+    try:
+        adj = ds.adj_norm()
+        ell = ds.adj_norm_ell()
+        x = ds.feat
+        # EllAdj passed as a pytree ARGUMENT: closing over it bakes the
+        # 4.6M-edge arrays into the HLO as constants (~100 MB program,
+        # 30-120 s compiles on the remote-compile backend vs ~5 s here).
+        spmm = jax.jit(lambda e, xx: e.matmul(xx))
+        t0 = time.time()
+        out = spmm(ell, x)
+        _ = float(out[0, 0])   # forced readback: block_until_ready on the
+        #                        tunneled backend can return before the
+        #                        remote execution actually finishes
+        _RESULT["extra"]["spmm_compile_s"] = round(time.time() - t0, 1)
+        n_rep = 30
+        t0 = time.time()
+        for _ in range(n_rep):
+            out = spmm(ell, out)   # chained: forces sequential execution
+        _ = float(out[0, 0])
+        spmm_s = (time.time() - t0) / n_rep
+        bytes_moved = _ell_bytes_moved(ell, int(x.shape[-1]))
+        sol_pct = bytes_moved / (HBM_GBPS_V5E * 1e9) / spmm_s * 100.0
+        _RESULT["extra"].update({
+            "spmm_edges_per_s": round(adj.nnz / spmm_s / 1e6, 1),
             "spmm_ms": round(spmm_s * 1e3, 3),
+            "spmm_sol_pct": round(sol_pct, 1),
+            "spmm_bytes_moved_mb": round(bytes_moved / 1e6, 1),
             "nnz": int(adj.nnz),
-            "n_syn": int(engine.n_syn),
+        })
+        _log(f"spmm {_RESULT['extra']['spmm_ms']} ms, "
+             f"{_RESULT['extra']['spmm_edges_per_s']} Medges/s, "
+             f"SOL {_RESULT['extra']['spmm_sol_pct']}%")
+    except Exception as e:
+        _RESULT["extra"]["spmm_error"] = repr(e)[:200]
+        _log(f"spmm stage failed: {e!r}")
+
+    # --- primary: GCond outer step on arxiv r=0.01 -----------------------
+    try:
+        args = finalize(
+            Args(dataset="ogbn-arxiv", method="gcond",
+                 save_path="/tmp/graft_bench", run_eval=1, run_inter_eval=1,
+                 init="random"),
+            explicit={"run_eval", "run_inter_eval", "init"})
+        engine = create_reducer("gcond", ds, args)
+
+        feat_syn = engine.init_feat_syn()
+        key = jax.random.key(0)
+        pge_params = engine.pge.init(key)
+        model_params = engine.model.init(jax.random.key(1))
+        opt = optax.adam(args.lr_feat)
+        opt_state = opt.init(feat_syn)
+
+        # real-graph tensors as jit args (cond_base.RealTensors): keeps
+        # the program small and the compile cache in the MB range
+        @jax.jit
+        def outer_step(model_params, feat_syn, pge_params, opt_state, key,
+                       real):
+            def objective(fs, pp):
+                adj_norm = engine.syn_adj_norm(pp, fs)
+                return engine.match_loss_total(model_params, fs, adj_norm,
+                                               key, real)
+
+            loss, (g_f, g_p) = jax.value_and_grad(
+                objective, argnums=(0, 1))(feat_syn, pge_params)
+            updates, opt_state = opt.update(g_f, opt_state, feat_syn)
+            return optax.apply_updates(feat_syn, updates), opt_state, loss
+
+        t0 = time.time()
+        feat_syn, opt_state, loss = outer_step(model_params, feat_syn,
+                                               pge_params, opt_state, key,
+                                               engine.real)
+        _ = float(loss)   # forced readback (see SpMM note)
+        _RESULT["extra"]["compile_s"] = round(time.time() - t0, 1)
+        _log(f"outer step compiled ({_RESULT['extra']['compile_s']}s)")
+
+        n_steps = 10
+        t0 = time.time()
+        for _ in range(n_steps):
+            key, k = jax.random.split(key)
+            feat_syn, opt_state, loss = outer_step(
+                model_params, feat_syn, pge_params, opt_state, k,
+                engine.real)
+        _ = float(loss)
+        step_s = (time.time() - t0) / n_steps
+        steps_per_s = 1.0 / step_s
+        _RESULT["value"] = round(steps_per_s, 3)
+        _RESULT["vs_baseline"] = round(
+            steps_per_s / BASELINE_MATCH_STEPS_PER_S, 2)
+        _RESULT["extra"].update({
             "step_ms": round(step_s * 1e3, 1),
-            "compile_s": round(compile_s, 1),
-            "dataset_load_s": round(load_s, 1),
+            "n_syn": int(engine.n_syn),
             "match_loss": round(float(loss), 4),
-            "backend": jax.default_backend(),
-        },
-    }
-    print(json.dumps(result))
+        })
+        _log(f"gcond outer step {_RESULT['extra']['step_ms']} ms "
+             f"-> {steps_per_s:.2f} steps/s")
+    except Exception as e:
+        _RESULT["extra"]["gcond_error"] = repr(e)[:200]
+        _log(f"gcond stage failed: {e!r}")
+
+    _emit_and_exit(0)
 
 
 if __name__ == "__main__":

@@ -17,8 +17,10 @@ import numpy as np
 def generate(n_nodes: int, n_feat: int, nclass: int, avg_degree: float,
              homophily: float, seed: int, feature_noise: float = 1.0,
              degree_power: float = 0.9,
-             class_skew: float = 0.3) -> tuple[np.ndarray, np.ndarray,
-                                               np.ndarray]:
+             class_skew: float = 0.3,
+             center_scale: float = 2.0,
+             label_noise: float = 0.0) -> tuple[np.ndarray, np.ndarray,
+                                                np.ndarray]:
     """Return ``(edge_index [2,E], feat [n,d] float32, labels [n] int32)``.
 
     * labels: Zipf-skewed class sizes (``class_skew`` controls imbalance,
@@ -29,6 +31,15 @@ def generate(n_nodes: int, n_feat: int, nclass: int, avg_degree: float,
     * features: per-class centers in a latent space projected through a
       random matrix + one hop of structural mixing so features and
       structure are correlated like in citation graphs.
+
+    Hardness knobs (round-2 calibration; VERDICT.md "accuracy evidence is
+    saturated").  ``center_scale`` shrinks class separation in feature
+    space, ``feature_noise`` raises within-class spread, and
+    ``label_noise`` flips that fraction of *observed* labels uniformly to
+    another class AFTER structure/features are generated — the graph still
+    follows the true labels, but supervision and evaluation see the noisy
+    ones, capping attainable accuracy like real datasets' inherent label
+    ambiguity does (cora tops out ~0.81, arxiv ~0.71).
     """
     rng = np.random.default_rng(seed)
 
@@ -71,7 +82,7 @@ def generate(n_nodes: int, n_feat: int, nclass: int, avg_degree: float,
 
     # --- features -------------------------------------------------------
     latent_dim = min(max(nclass * 4, 16), n_feat)
-    centers = rng.normal(size=(nclass, latent_dim)) * 2.0
+    centers = rng.normal(size=(nclass, latent_dim)) * center_scale
     z = centers[labels] + rng.normal(size=(n_nodes, latent_dim)) * \
         feature_noise
     proj = rng.normal(size=(latent_dim, n_feat)) / np.sqrt(latent_dim)
@@ -87,4 +98,11 @@ def generate(n_nodes: int, n_feat: int, nclass: int, avg_degree: float,
     deg_out = np.maximum(np.asarray(A.sum(1)).ravel(), 1.0)
     mix = (A @ feat) / deg_out[:, None].astype(np.float32)
     feat = 0.7 * feat + 0.3 * mix.astype(np.float32)
+
+    # --- observed-label noise (after structure/features) -----------------
+    if label_noise > 0.0:
+        flip = rng.random(n_nodes) < label_noise
+        shift = rng.integers(1, nclass, size=n_nodes).astype(np.int32)
+        labels = np.where(flip, (labels + shift) % nclass, labels)
+        labels = labels.astype(np.int32)
     return edge_index, feat, labels

@@ -89,6 +89,29 @@ def masked_nll(log_probs: jax.Array, labels: jax.Array,
 # Engine
 # ---------------------------------------------------------------------------
 
+from typing import NamedTuple
+
+
+class RealTensors(NamedTuple):
+    """The large real-graph device arrays of the matching path, bundled so
+    hot loops can thread them through ``jax.jit`` as ARGUMENTS.
+
+    Closing over them instead (round-1 design) bakes them into the traced
+    program as constants: at ogbn-arxiv scale that made the outer-step HLO
+    hundreds of MB, inflated compile time ~10x on the remote-compile
+    backend, and blew the persistent compile cache to ~370 MB.  Passing
+    them as pytree args keeps programs small and cache entries in the MB
+    range.  Engine methods accept ``real=None`` and fall back to
+    ``self.real`` so eager/legacy callers are unaffected.
+    """
+
+    features: jax.Array      # [n, d] real node features
+    labels_real: jax.Array   # [n] real labels
+    pools: jax.Array         # [C, max_n] padded per-class train pools
+    pool_counts: jax.Array   # [C]
+    adj_off: G.SparseAdj     # normalized adjacency, diagonal removed
+    self_vals: jax.Array     # [n] normalized self-loop values
+
 class CondensationBase(Reducer):
     """Shared state for GCond/DosCond/±X/GCDM: budgets, syn params,
     sampler tables, optimizers, checkpoint evaluation."""
@@ -161,6 +184,10 @@ class CondensationBase(Reducer):
             pool_pad[i, :len(p)] = p
         self.pools = jnp.asarray(pool_pad)
         self.batch = int(min(self.sample_batch, max_n))
+        self.real = RealTensors(
+            features=self.features, labels_real=self.labels_real,
+            pools=self.pools, pool_counts=self.pool_counts,
+            adj_off=self.adj_off, self_vals=self.self_vals)
 
         self._build_class_tables()
 
@@ -207,10 +234,11 @@ class CondensationBase(Reducer):
     # ------------------------------------------------------------------
     # Jitted pieces
     # ------------------------------------------------------------------
-    def _sample_class_block(self, key, class_idx):
+    def _sample_class_block(self, key, class_idx, real=None):
         """Sample a padded B-target block for one class."""
-        pool = self.pools[class_idx]
-        count = self.pool_counts[class_idx]
+        real = self.real if real is None else real
+        pool = real.pools[class_idx]
+        count = real.pool_counts[class_idx]
         B = self.batch
         k1, k2 = jax.random.split(key)
         slot = jnp.arange(B, dtype=jnp.int32)
@@ -219,12 +247,12 @@ class CondensationBase(Reducer):
         targets = pool[pos]
         valid = (slot < count) | (count > B)
         block = neighbor_sample_block(
-            k2, self.adj_off.indptr, self.adj_off.col,
-            self.adj_off.values_or_ones(), self.self_vals, targets,
+            k2, real.adj_off.indptr, real.adj_off.col,
+            real.adj_off.values_or_ones(), real.self_vals, targets,
             self.fanouts)
         return block, targets, valid
 
-    def _sample_all_class_blocks(self, key):
+    def _sample_all_class_blocks(self, key, real=None):
         """One flat fanout sample covering every class.
 
         Batching the per-class sampling into single gather ops (instead of
@@ -233,29 +261,32 @@ class CondensationBase(Reducer):
         reshaping each block level to a leading class axis (children of a
         target occupy contiguous slots, so class segments stay contiguous).
         """
+        real = self.real if real is None else real
         C, B = len(self.classes), self.batch
         k1, k2 = jax.random.split(key)
-        counts = self.pool_counts
+        counts = real.pool_counts
         slot = jnp.arange(B, dtype=jnp.int32)[None, :]
         rand = jax.random.randint(k1, (C, B), 0,
                                   jnp.maximum(counts, 1)[:, None])
         pos = jnp.where(counts[:, None] <= B,
                         jnp.minimum(slot, counts[:, None] - 1), rand)
-        targets = jnp.take_along_axis(self.pools, pos, axis=1)   # [C, B]
+        targets = jnp.take_along_axis(real.pools, pos, axis=1)   # [C, B]
         valid = (slot < counts[:, None]) | (counts[:, None] > B)
         block = neighbor_sample_block(
-            k2, self.adj_off.indptr, self.adj_off.col,
-            self.adj_off.values_or_ones(), self.self_vals,
+            k2, real.adj_off.indptr, real.adj_off.col,
+            real.adj_off.values_or_ones(), real.self_vals,
             targets.reshape(-1), self.fanouts)
         ids = tuple(x.reshape(C, -1) for x in block.node_ids)
         ws = tuple(w.reshape(C, -1, w.shape[-1]) for w in block.weights)
         return ids, ws, targets, valid
 
-    def _real_class_grad(self, model_params, key, class_idx):
+    def _real_class_grad(self, model_params, key, class_idx, real=None):
         """Detached per-class real gradient from a sampled block."""
-        block, targets, valid = self._sample_class_block(key, class_idx)
-        feat_deep = jnp.take(self.features, block.node_ids[0], axis=0)
-        y = jnp.take(self.labels_real, targets)
+        real = self.real if real is None else real
+        block, targets, valid = self._sample_class_block(key, class_idx,
+                                                         real)
+        feat_deep = jnp.take(real.features, block.node_ids[0], axis=0)
+        y = jnp.take(real.labels_real, targets)
 
         def loss_of(p):
             out = self.model.apply(p, feat_deep, block)
@@ -287,20 +318,26 @@ class CondensationBase(Reducer):
         log.info("distributed matching over %d devices",
                  mesh.shape[axis])
 
-    def match_loss_total(self, model_params, feat_syn, adj_syn_norm, key):
+    def match_loss_total(self, model_params, feat_syn, adj_syn_norm, key,
+                         real=None):
         """Σ_c coeff_c · match(gw_syn_c, gw_real_c) — scan over classes
         (reference ``train_class``, ``gcond_base.py:156-241``); when
-        distributed matching is enabled, classes shard over the mesh."""
+        distributed matching is enabled, classes shard over the mesh.
+
+        Pass ``real`` (``self.real`` or a sharded copy) explicitly when
+        calling under ``jax.jit`` so the real-graph tensors are program
+        arguments, not baked constants (see :class:`RealTensors`)."""
+        real = self.real if real is None else real
         if self._sharded_match is not None:
             return self._sharded_match(model_params, feat_syn,
                                        adj_syn_norm, key)
-        ids, ws, targets, valid = self._sample_all_class_blocks(key)
+        ids, ws, targets, valid = self._sample_all_class_blocks(key, real)
 
         def body(acc, inputs):
             ids_c, ws_c, tgt, vld, mask, coeff = inputs
             block = BlockSample(node_ids=ids_c, weights=ws_c)
-            feat_deep = jnp.take(self.features, block.node_ids[0], axis=0)
-            y = jnp.take(self.labels_real, tgt)
+            feat_deep = jnp.take(real.features, block.node_ids[0], axis=0)
+            y = jnp.take(real.labels_real, tgt)
 
             def loss_of(p):
                 out = self.model.apply(p, feat_deep, block)

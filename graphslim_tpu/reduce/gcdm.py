@@ -62,13 +62,13 @@ class GCDM(CondensationBase):
         model = self.model
         nlayers = args.nlayers
         eye = jnp.eye(self.n_syn)
-        adj_full = self.adj_norm_fast
-        features = self.features
         cls_ranges = [self.class_ranges[c] for c in self.classes]
         budgets = [self.budgets[c] for c in self.classes]
         coeffs = [self.budgets[c] / self.n_syn for c in self.classes]
 
-        def epoch(key, feat_syn, opt_f):
+        # features/adj travel as jit arguments, not closure constants
+        # (see cond_base.RealTensors for why)
+        def epoch(key, feat_syn, opt_f, features, adj_full):
             km, ko = jax.random.split(key)
             mp = model.init(km)
             mo = self.opt_model.init(mp)
@@ -139,7 +139,8 @@ class GCDM(CondensationBase):
         self._best_reduced = None
         for it in range(args.epochs):
             key, ke = jax.random.split(key)
-            feat_syn, opt_f, loss_sum = epoch_fn(ke, feat_syn, opt_f)
+            feat_syn, opt_f, loss_sum = epoch_fn(
+                ke, feat_syn, opt_f, self.features, self.adj_norm_fast)
             if it in args.checkpoints:
                 best_val = self.intermediate_evaluation(
                     feat_syn, None, best_val, it,

@@ -42,7 +42,7 @@ class GCond(CondensationBase):
         outer_loop, inner_loop = args.outer_loop, args.inner_loop
         struct = self.with_structure
 
-        def epoch(key, feat_syn, pge_params, opt_f, opt_p):
+        def epoch(key, feat_syn, pge_params, opt_f, opt_p, real):
             km, ko = jax.random.split(key)
             model_params = self.model.init(km)
             m_opt = self.opt_model.init(model_params)
@@ -54,7 +54,7 @@ class GCond(CondensationBase):
                 def objective(fs, pp):
                     adj_norm, aux = self.generator_forward(pp, fs)
                     return self.match_loss_total(mp, fs, adj_norm,
-                                                 k_ol) + aux
+                                                 k_ol, real) + aux
 
                 loss, (g_f, g_p) = jax.value_and_grad(
                     objective, argnums=(0, 1))(feat_syn, pge_params)
@@ -149,7 +149,7 @@ class GCond(CondensationBase):
                 fns[update_pge] = self._build_epoch_fn(update_pge)
             key, ke = jax.random.split(key)
             feat_syn, pge_params, opt_f, opt_p, loss_sum = fns[update_pge](
-                ke, feat_syn, pge_params, opt_f, opt_p)
+                ke, feat_syn, pge_params, opt_f, opt_p, self.real)
             loss_avg = float(loss_sum) / denom
             if it in args.checkpoints:
                 adj_syn = self.inference_adj(pge_params, feat_syn)

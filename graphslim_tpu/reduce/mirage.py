@@ -250,10 +250,17 @@ class Mirage(Reducer):
         levels = wl_tree_hashes(indptr, col, node_label, hops - 1)
         top = levels[hops - 1]
 
-        # representative node per top-level tree id (first occurrence)
+        # Representative node per top-level tree id — TRAIN nodes only.
+        # In the transductive setting the full graph (structure + features)
+        # is observed but val/test *labels* are not; realizing trees rooted
+        # at non-train nodes risks emitting their ground-truth labels.
+        # Restricting representatives to train roots (and labeling every
+        # emitted node with the class budget being filled, below) keeps the
+        # synthetic graph leak-free.  Hashes with no train representative
+        # are skipped; the per-class budget padding covers the shortfall.
         rep: dict[int, int] = {}
-        for v in range(top.shape[0]):
-            rep.setdefault(int(top[v]), v)
+        for v in roots:
+            rep.setdefault(int(top[v]), int(v))
 
         # --- 3. per-node transactions + per-class mining ----------------
         deg = np.diff(indptr)
@@ -281,6 +288,8 @@ class Mirage(Reducer):
                 for h in sorted(pattern):
                     if h in used or room <= 0:
                         continue
+                    if h not in rep:   # no train-node representative
+                        continue
                     used.add(h)
                     origin, edges = _bfs_tree(
                         rep[h], hops - 1, indptr, col, levels, fanout)
@@ -289,7 +298,11 @@ class Mirage(Reducer):
                         origin = origin[:room]
                         edges = [(a, b) for a, b in edges if b < room]
                     x_parts.append(feat_np[origin])
-                    lab_parts.append(labels[origin])
+                    # every node of a class-c tree is supervised as class c
+                    # (condensation label-budget semantics; never emits a
+                    # non-train node's ground-truth label)
+                    lab_parts.append(np.full(len(origin), c,
+                                             dtype=np.int64))
                     edge_parts.extend(
                         (a + n_out, b + n_out) for a, b in edges)
                     n_out += len(origin)
@@ -299,7 +312,7 @@ class Mirage(Reducer):
                 pad = c_roots[np.argsort(-deg[c_roots],
                                          kind="stable")[:room]]
                 x_parts.append(feat_np[pad])
-                lab_parts.append(labels[pad])
+                lab_parts.append(np.full(pad.shape[0], c, dtype=np.int64))
                 n_out += pad.shape[0]
 
         x_syn = np.concatenate(x_parts, axis=0)

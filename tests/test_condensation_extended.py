@@ -102,6 +102,43 @@ def test_mirage(tmp_path, synth_dataset):
     assert mean > 0.7, mean
 
 
+def test_mirage_no_label_leak(tmp_path, synth_dataset):
+    """Scrambling every non-train label must not change mirage's output:
+    in the transductive setting val/test labels are unobserved, so the
+    synthetic graph may depend only on structure, features, and train
+    labels (regression test for the round-1 leak where labels[origin]
+    emitted test nodes' ground truth)."""
+    import dataclasses
+
+    ds = synth_dataset
+    base = dict(dataset="synth-small", method="mirage",
+                save_path=str(tmp_path), eval_epochs=50, run_eval=1)
+    args = finalize(Args(**base), explicit=set(base))
+
+    labels = np.asarray(ds.labels).copy()
+    non_train = np.setdiff1d(np.arange(labels.shape[0]), ds.idx_train)
+    rng = np.random.default_rng(7)
+    labels_scrambled = labels.copy()
+    labels_scrambled[non_train] = rng.integers(
+        0, ds.nclass, size=non_train.shape[0])
+    ds_scrambled = dataclasses.replace(
+        ds, labels=jnp.asarray(labels_scrambled))
+
+    red_a = create_reducer("mirage", ds, args).reduce(ds)
+    red_b = create_reducer("mirage", ds_scrambled, args).reduce(ds_scrambled)
+    np.testing.assert_array_equal(np.asarray(red_a.labels),
+                                  np.asarray(red_b.labels))
+    np.testing.assert_allclose(np.asarray(red_a.feat),
+                               np.asarray(red_b.feat))
+    # per-class output counts match the computed budgets exactly
+    from graphslim_tpu.reduce.base import class_budgets
+    budgets, _, _ = class_budgets(ds.labels_for_reduction(),
+                                  args.reduction_rate)
+    out_counts = dict(zip(*[a.tolist() for a in np.unique(
+        np.asarray(red_a.labels), return_counts=True)]))
+    assert out_counts == {c: b for c, b in budgets.items() if b > 0}
+
+
 def test_mirage_fpgrowth_matches_bruteforce():
     """FP-growth output equals brute-force frequent-itemset enumeration."""
     import itertools

@@ -61,8 +61,10 @@ def test_registry():
     assert len(list_methods()) >= 30
     with pytest.raises(ValueError):
         get_method_spec("nope")
-    # full surface pin: every reference registry name (registry.py:41-142)
-    # must resolve, plus first-party mirage
+    # full surface pin: every reference *registered* name (registry.py:
+    # 41-142, 36 entries) must resolve.  kcenter_sample and mirage are
+    # first-party additions beyond those 36: upstream ships kcenter_sample
+    # only as an unregistered file and mirage commented out.
     reference_names = [
         "random", "kcenter", "kcenter_sample", "herding", "cent_d",
         "cent_p", "random_edge", "g_spar", "local_degree", "scan",
