@@ -1,0 +1,123 @@
+"""Twin-hardness calibration harness (VERDICT round-1 item 2).
+
+Trains a full-graph GCN on a synthetic twin (with optional knob overrides)
+and reports test accuracy alongside an MLP (features-only) baseline and a
+random-coreset evaluation at the dataset's representative reduction rate.
+The goal regime (reference GC4NC, arXiv 2406.16715): full-graph accuracy
+matches the real dataset (cora ~0.81, arxiv ~0.71, ...), MLP clearly below
+GCN (structure carries signal), random coreset clearly below full graph
+(reduction is lossy enough to measure method quality).
+
+Usage:
+    python benchmark/calibrate_twins.py cora [--center_scale 0.8]
+        [--feature_noise 1.3] [--label_noise 0.1] [--coreset]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphslim_tpu import graph as G
+from graphslim_tpu import models as M
+from graphslim_tpu.data import loader
+
+
+def full_graph_acc(ds, model_type="GCN", epochs=300, hidden=256, seed=0,
+                   nlayers=2):
+    cfg = M.ModelConfig(nfeat=int(ds.feat.shape[1]), nhid=hidden,
+                        nclass=ds.nclass, nlayers=nlayers)
+    model = M.get_model(model_type, cfg)
+    if ds.setting == "ind":
+        tr_adj = G.gcn_norm(ds.adj_train)
+        te_adj = G.gcn_norm(ds.adj_test)
+        tr_idx = jnp.arange(ds.feat_train.shape[0], dtype=jnp.int32)
+        train = (ds.feat_train, tr_adj, ds.labels_train, tr_idx)
+        val_adj = G.gcn_norm(ds.adj_val)
+        val = (ds.feat_val, val_adj, ds.labels_val,
+               jnp.arange(ds.feat_val.shape[0], dtype=jnp.int32))
+        test = (ds.feat_test, te_adj, ds.labels_test,
+                jnp.arange(ds.feat_test.shape[0], dtype=jnp.int32))
+    else:
+        adj = ds.adj_norm()
+        train = (ds.feat, adj, ds.labels[jnp.asarray(ds.idx_train)],
+                 jnp.asarray(ds.idx_train))
+        val = (ds.feat, adj, ds.labels[jnp.asarray(ds.idx_val)],
+               jnp.asarray(ds.idx_val))
+        test = (ds.feat, adj, ds.labels[jnp.asarray(ds.idx_test)],
+                jnp.asarray(ds.idx_test))
+    tcfg = M.TrainConfig(epochs=epochs)
+    params, best_val, _ = M.fit_with_val(model, jax.random.key(seed),
+                                         train=train, val=val, cfg=tcfg)
+    acc = M.evaluate(model, params, test[0], test[1], test[2], test[3])
+    return float(acc), float(best_val)
+
+
+def coreset_acc(ds, args_ns, method="random"):
+    from graphslim_tpu.config import Args, finalize
+    from graphslim_tpu.eval.evaluator import Evaluator
+    from graphslim_tpu.reduce.registry import create_reducer
+
+    args = finalize(Args(dataset=ds.name, method=method,
+                         save_path="/tmp/graft_calib", run_eval=3))
+    red = create_reducer(method, ds, args).reduce(ds, verbose=False)
+    ev = Evaluator(ds, args)
+    (mean, std), _ = ev.evaluate(red, "GCN")
+    return float(mean), float(std), int(red.feat.shape[0])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset")
+    ap.add_argument("--center_scale", type=float, default=None)
+    ap.add_argument("--feature_noise", type=float, default=None)
+    ap.add_argument("--label_noise", type=float, default=None)
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--coreset", action="store_true",
+                    help="also evaluate random coreset at the rep. rate")
+    ns = ap.parse_args()
+
+    name = loader.normalize_name(ns.dataset)
+    spec = loader.DATASET_SPECS[name]
+    over = {k: getattr(ns, k) for k in
+            ("center_scale", "feature_noise", "label_noise")
+            if getattr(ns, k) is not None}
+    if over:
+        spec = dataclasses.replace(spec, **over)
+        loader.DATASET_SPECS[name] = spec
+
+    t0 = time.time()
+    ds = loader.load(name, seed=0)
+    print(f"[{name}] loaded in {time.time()-t0:.1f}s  "
+          f"n={ds.n_nodes} e={ds.adj.nnz} train={len(ds.idx_train)} "
+          f"knobs: cs={spec.center_scale} fn={spec.feature_noise} "
+          f"ln={spec.label_noise}", file=sys.stderr)
+
+    gcn, gcn_val = full_graph_acc(ds, "GCN", epochs=ns.epochs)
+    print(f"[{name}] GCN={gcn:.4f} (+{time.time()-t0:.0f}s)",
+          file=sys.stderr)
+    mlp, _ = full_graph_acc(ds, "MLP", epochs=ns.epochs)
+    print(f"[{name}] MLP={mlp:.4f} (+{time.time()-t0:.0f}s)",
+          file=sys.stderr)
+    sgc, _ = full_graph_acc(ds, "SGC", epochs=ns.epochs)
+    line = (f"[{name}] GCN={gcn:.4f} (val {gcn_val:.4f})  MLP={mlp:.4f}  "
+            f"SGC={sgc:.4f}  target={spec.target_acc}")
+    if ns.coreset:
+        mean, std, n_syn = coreset_acc(ds, ns)
+        line += f"  random-coreset(n={n_syn})={mean:.4f}±{std:.4f}"
+    print(line)
+
+
+if __name__ == "__main__":
+    main()

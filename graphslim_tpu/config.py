@@ -42,6 +42,9 @@ class Args:
     multi_label: bool = False
     attack: Optional[str] = None
     ptb_r: float = 0.25
+    prbcd_epochs: int = 120                # PRBCD ascent epochs
+    prbcd_fine_tune: int = 30              # last epochs without resampling
+    prbcd_block: int = 250_000             # candidate block size
     # --- reduction / condensation --------------------------------------
     epochs: int = 1000
     hidden: int = 256

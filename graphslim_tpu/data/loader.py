@@ -48,34 +48,54 @@ class DatasetSpec:
 # Scales follow the reference's dataset table (efficiency.md:123-131 and
 # PyG dataset cards); homophily/degree approximate the public statistics.
 _SPECS = [
+    # Test fixtures: deliberately easy (high separation), NOT calibrated.
     DatasetSpec("synth-small", 600, 32, 4, 6.0, 0.8, "row_norm", "trans",
-                "random"),
+                "random", feature_noise=1.0, center_scale=2.0),
     DatasetSpec("synth-ind-small", 800, 48, 5, 6.0, 0.75, "standardize",
-                "ind", "random"),
-    DatasetSpec("cora", 2708, 1433, 7, 3.9, 0.81, "row_norm", "trans"),
-    DatasetSpec("citeseer", 3327, 3703, 6, 2.7, 0.74, "row_norm", "trans"),
-    DatasetSpec("pubmed", 19717, 500, 3, 4.5, 0.80, "row_norm", "trans"),
+                "ind", "random", feature_noise=1.0, center_scale=2.0),
+    # Planetoid twins: 'random' split = 20 train / 30 val per class,
+    # matching the PUBLIC Planetoid split's supervision scale (the
+    # reference trains cora on 140 labeled nodes, not 80 % of the graph).
+    DatasetSpec("cora", 2708, 1433, 7, 3.9, 0.81, "row_norm", "trans",
+                "random", target_acc=0.81, center_scale=0.35,
+                label_noise=0.10),   # measured GCN 0.806, MLP 0.50
+    DatasetSpec("citeseer", 3327, 3703, 6, 2.7, 0.74, "row_norm", "trans",
+                "random", target_acc=0.72, center_scale=0.33,
+                label_noise=0.13),
+    DatasetSpec("pubmed", 19717, 500, 3, 4.5, 0.80, "row_norm", "trans",
+                "random", target_acc=0.79, center_scale=0.35,
+                label_noise=0.17),
     DatasetSpec("photo", 7650, 745, 8, 31.1, 0.83, "row_norm", "trans",
-                "random"),
+                "random", target_acc=0.91, center_scale=0.5,
+                label_noise=0.05),
     DatasetSpec("computers", 13752, 767, 10, 35.8, 0.78, "row_norm",
-                "trans", "random"),
+                "trans", "random", target_acc=0.86, center_scale=0.45,
+                label_noise=0.08),
     DatasetSpec("cs", 18333, 6805, 15, 8.9, 0.81, "row_norm", "trans",
-                "random"),
+                "random", target_acc=0.92, center_scale=0.55,
+                label_noise=0.04),
     DatasetSpec("physics", 34493, 8415, 5, 14.4, 0.93, "row_norm", "trans",
-                "random"),
+                "random", target_acc=0.95, center_scale=0.6,
+                label_noise=0.03),
     DatasetSpec("dblp", 17716, 1639, 4, 6.0, 0.83, "row_norm", "trans",
-                "random"),
+                "random", target_acc=0.80, center_scale=0.4,
+                label_noise=0.12),
     DatasetSpec("ogbn-arxiv", 169343, 128, 40, 13.7, 0.65, "standardize",
-                "trans"),
-    DatasetSpec("flickr", 89250, 500, 7, 10.0, 0.32, "standardize", "ind"),
+                "trans", target_acc=0.71, label_noise=0.22,
+                center_scale=0.8, feature_noise=1.3),
+    DatasetSpec("flickr", 89250, 500, 7, 10.0, 0.32, "standardize", "ind",
+                target_acc=0.47, label_noise=0.35, center_scale=0.45,
+                feature_noise=1.5),
     DatasetSpec("reddit", 232965, 602, 41, 99.6, 0.76, "standardize",
-                "ind"),
+                "ind", target_acc=0.94, label_noise=0.04,
+                center_scale=1.5, feature_noise=1.0),
     DatasetSpec("yelp", 45954, 32, 2, 167.0, 0.77, "standardize", "ind",
-                metric="f1_macro"),
+                metric="f1_macro", label_noise=0.25, center_scale=0.6),
     DatasetSpec("amazon", 11944, 25, 2, 700.0, 0.65, "standardize", "ind",
-                metric="f1_macro"),
+                metric="f1_macro", label_noise=0.2, center_scale=0.6),
     DatasetSpec("cora_ml", 2995, 2879, 7, 5.5, 0.79, "row_norm", "trans",
-                "random"),
+                "random", target_acc=0.85, center_scale=0.4,
+                label_noise=0.08),
     # Web-scale OGB datasets: ingestion-only (reference loader.py:66-68)
     DatasetSpec("ogbn-products", 2_449_029, 100, 47, 51.5, 0.81,
                 "standardize", "trans", synth_ok=False),
@@ -128,16 +148,23 @@ def _synth_cached(name: str, spec: DatasetSpec):
     """Generate (or load from disk cache) the deterministic synthetic
     twin.  Seeded with zlib.crc32 (NOT the salted builtin hash) so the
     graph is identical across processes; large twins (ogbn-arxiv ~30 s of
-    host NumPy) cache under ``~/.cache/graphslim_tpu/synth``."""
+    host NumPy) cache under ``~/.cache/graphslim_tpu/synth``.  The cache
+    key includes the hardness knobs so recalibrating a spec busts stale
+    twins."""
     seed = zlib.crc32(name.encode()) % (2 ** 31)
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                              "graphslim_tpu", "synth")
-    path = os.path.join(cache_dir, f"{name}.npz")
+    knobs = (f"fn{spec.feature_noise:g}_cs{spec.center_scale:g}"
+             f"_ln{spec.label_noise:g}")
+    path = os.path.join(cache_dir, f"{name}_{knobs}.npz")
     if spec.n_nodes >= 50_000 and os.path.exists(path):
         blob = np.load(path)
         return blob["edge_index"], blob["feat"], blob["labels"]
     out = synthetic.generate(spec.n_nodes, spec.n_feat, spec.nclass,
-                             spec.avg_degree, spec.homophily, seed=seed)
+                             spec.avg_degree, spec.homophily, seed=seed,
+                             feature_noise=spec.feature_noise,
+                             center_scale=spec.center_scale,
+                             label_noise=spec.label_noise)
     if spec.n_nodes >= 50_000:
         try:
             os.makedirs(cache_dir, exist_ok=True)

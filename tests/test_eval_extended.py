@@ -58,11 +58,18 @@ def test_attacks(tmp_path, attack_name):
 
     ds = load("synth-small", split="random", seed=0)
     args = _args(tmp_path, attack=attack_name, ptb_r=0.2,
-                 eval_epochs=40)
+                 eval_epochs=40, prbcd_epochs=12, prbcd_fine_tune=4,
+                 prbcd_block=4000)
     out = attack(ds, args)
     if attack_name == "random_feat":
         assert not np.allclose(np.asarray(out.feat), np.asarray(ds.feat))
         assert out.adj.nnz == ds.adj.nnz
+    elif attack_name == "metattack":
+        # PRBCD may both add and remove edges; the perturbation must be
+        # non-empty and within the flip budget
+        budget = int(0.2 * ds.adj.nnz / 2)
+        assert out.adj.nnz != ds.adj.nnz
+        assert abs(out.adj.nnz - ds.adj.nnz) <= 2 * budget
     else:
         assert out.adj.nnz > ds.adj.nnz
     # cache hit path
