@@ -50,7 +50,8 @@ def full_graph_acc(ds, model_type="GCN", epochs=300, hidden=256, seed=0,
         test = (ds.feat_test, te_adj, ds.labels_test,
                 jnp.arange(ds.feat_test.shape[0], dtype=jnp.int32))
     else:
-        adj = ds.adj_norm()
+        # ELL fast path for big graphs (scatter-free SpMM)
+        adj = ds.adj_norm_ell() if ds.n_nodes > 50_000 else ds.adj_norm()
         train = (ds.feat, adj, ds.labels[jnp.asarray(ds.idx_train)],
                  jnp.asarray(ds.idx_train))
         val = (ds.feat, adj, ds.labels[jnp.asarray(ds.idx_val)],

@@ -1,17 +1,23 @@
 """GECC — evolving clustering aggregation condensation.
 
-Re-design of reference ``graphslim/condensation/gecc.py:25-1137`` (the
-checked-in single-split path; the commented-out cross-split "evolve"
-plumbing maps to passing previous centroids via ``prev_centroids``):
+Re-design of reference ``graphslim/condensation/gecc.py:25-1137``:
 
 1. weighted multi-hop feature aggregation
-   ``X_agg = γ·X + α·ÂX + β·Â²X (+ 0.5·deeper hops)`` — ELL SpMM hops,
-   no NeighborSampler needed (the reference's ogbn-products sampler path
-   exists only to bound GPU memory);
+   ``X_agg = γ·X + α·ÂX + β·Â²X (+ 0.5·deeper hops)`` — ELL SpMM hops;
+   for graphs above ``gecc_sample_threshold`` nodes a memory-bounded
+   **sampled** estimate over train targets replaces the exact hops
+   (the reference's ogbn-products NeighborSampler path,
+   ``gecc.py:60-110``), using the on-device fixed-fanout sampler;
 2. per-class clustering of aggregated train features: K-Means when
    ``fuzziness == 1`` else fuzzy c-means (closed-form membership updates,
    replacing skfuzzy) — both jitted JAX;
-3. centroids become ``feat_syn`` with identity adjacency.
+3. **evolving centroids** across splits/partitions
+   (``perform_balance_evolve_clusteringjk`` + ``incremental_kmeanspp_init``,
+   ``gecc.py:687-1065``): previous centroids warm-start the clustering;
+   when the budget grew, the shortfall is drawn by incremental kmeans++
+   (D² sampling seeded with distance-to-old-centers); when it shrank,
+   centroids are truncated;
+4. centroids become ``feat_syn`` with identity adjacency.
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ import numpy as np
 
 from graphslim_tpu import graph as G
 from graphslim_tpu.kernels.ell import ell_from_sparse
-from graphslim_tpu.kernels.kmeans import kmeans
+from graphslim_tpu.kernels.kmeans import incremental_kmeanspp, kmeans
 from graphslim_tpu.reduce.base import Reducer, class_budgets
 
 log = logging.getLogger("graphslim_tpu")
@@ -33,11 +39,16 @@ log = logging.getLogger("graphslim_tpu")
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4))
 def fuzzy_cmeans(key: jax.Array, x: jax.Array, k: int, m: float,
-                 iters: int = 50) -> jax.Array:
-    """Fuzzy c-means centroids (replaces skfuzzy; closed-form updates)."""
+                 iters: int = 50, init: jax.Array | None = None
+                 ) -> jax.Array:
+    """Fuzzy c-means centroids (replaces skfuzzy; closed-form updates).
+    ``init`` warm-starts from previous-split centroids (evolving path)."""
     n = x.shape[0]
-    idx = jax.random.choice(key, n, shape=(k,), replace=False)
-    centers = jnp.take(x, idx, axis=0)
+    if init is not None:
+        centers = init
+    else:
+        idx = jax.random.choice(key, n, shape=(k,), replace=False)
+        centers = jnp.take(x, idx, axis=0)
     expo = 2.0 / (m - 1.0)
 
     def step(centers, _):
@@ -74,6 +85,13 @@ class GECC(Reducer):
                 absorb_remainder=True)
         self.prev_centroids = prev_centroids or {}
 
+    # graphs above this node count use the sampled aggregation estimate
+    # (reference routes ogbn-products through a NeighborSampler,
+    # gecc.py:60-110); exact hops otherwise
+    sample_threshold = 400_000
+    sample_fanout = 15
+    sample_batch = 4096
+
     def _aggregate(self, data: G.Dataset):
         """Weighted hop mix (reference gecc.py:53-160)."""
         args = self.args
@@ -91,34 +109,126 @@ class GECC(Reducer):
             agg = agg + weights[min(hop, len(weights) - 1)] * tmp
         return agg
 
+    def _aggregate_sampled(self, data: G.Dataset, targets: np.ndarray):
+        """Memory-bounded hop mix over ``targets`` only, via fixed-fanout
+        sampled blocks (the TPU equivalent of the reference's
+        ogbn-products NeighborSampler path, ``gecc.py:60-110``).
+
+        For each batch of targets one ``depth``-hop block is sampled; the
+        h-hop aggregate of a target is estimated by propagating the raw
+        features at block level ``depth-h`` through the top ``h``
+        normalized weight matrices.  Work and memory scale with
+        ``len(targets) · fanout^depth``, never with ``n_nodes``.
+        """
+        from graphslim_tpu.kernels.sample import neighbor_sample_block
+
+        args = self.args
+        weights = [args.agg_gamma, args.agg_alpha, args.agg_beta]
+        weights += [0.5] * max(args.depth + 1 - 3, 0)
+        if data.setting == "ind":
+            feat, adj = data.feat_train, data.adj_train
+        else:
+            feat, adj = data.feat, data.adj
+        norm = G.gcn_norm(adj)
+        row = np.asarray(norm.row)
+        col = np.asarray(norm.col)
+        val = np.asarray(norm.values_or_ones())
+        diag = row == col
+        self_vals = np.zeros(norm.n_rows, dtype=np.float32)
+        self_vals[row[diag]] = val[diag]
+        adj_off = G.from_edge_index(
+            np.stack([row[~diag], col[~diag]]), norm.n_rows,
+            edge_weight=val[~diag], dedup=False)
+        self_vals = jnp.asarray(self_vals)
+        fanouts = [self.sample_fanout] * args.depth
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=())
+        def batch_agg(key, tgt):
+            block = neighbor_sample_block(
+                key, adj_off.indptr, adj_off.col, adj_off.values_or_ones(),
+                self_vals, tgt, fanouts)
+            L = block.num_layers
+            out = weights[0] * jnp.take(feat, tgt, axis=0)
+            for h in range(1, L + 1):
+                # raw features at level L-h, propagated h times
+                x = jnp.take(feat, block.node_ids[L - h], axis=0)
+                for k in range(L - h, L):
+                    w = block.weights[k]           # [m_{k+1}, f+1]
+                    m1, f1 = w.shape
+                    x = jnp.einsum("mf,mfd->md", w,
+                                   x.reshape(m1, f1, -1))
+                out = out + weights[min(h, len(weights) - 1)] * x
+            return out
+
+        B = int(self.sample_batch)
+        key = jax.random.key(args.seed)
+        parts = []
+        for s in range(0, len(targets), B):
+            chunk = targets[s:s + B]
+            pad = B - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros(pad,
+                                                        dtype=chunk.dtype)])
+            key, k = jax.random.split(key)
+            out = batch_agg(k, jnp.asarray(chunk.astype(np.int32)))
+            parts.append(np.asarray(out[:B - pad] if pad else out))
+        return jnp.asarray(np.concatenate(parts, axis=0))
+
+    def _evolve_init(self, key, x_c, n_c: int):
+        """Warm-start centroids for this split from ``prev_centroids``
+        (reference ``perform_balance_evolve_clusteringjk`` init,
+        ``gecc.py:687-775``): reuse when counts match, truncate when the
+        budget shrank, extend by incremental kmeans++ when it grew.
+        Returns None when no previous centroids exist."""
+        c = self._current_class
+        prev = self.prev_centroids.get(c)
+        if prev is None:
+            return None
+        prev = np.asarray(prev, dtype=np.float32)
+        if prev.shape[0] == n_c:
+            return jnp.asarray(prev)
+        if prev.shape[0] > n_c:
+            return jnp.asarray(prev[:n_c])
+        needed = n_c - prev.shape[0]
+        new = incremental_kmeanspp(key, x_c, jnp.asarray(prev), needed)
+        return jnp.concatenate([jnp.asarray(prev), new], axis=0)
+
     def _reduce(self, data: G.Dataset, verbose: bool) -> G.Reduced:
         args = self.args
-        agg = self._aggregate(data)
         if data.setting == "ind":
             labels_tr = np.asarray(data.labels_train)
+            train_rows = np.arange(labels_tr.shape[0])
         else:
-            agg = jnp.take(agg, jnp.asarray(data.idx_train), axis=0)
             labels_tr = np.asarray(data.labels)[data.idx_train]
+            train_rows = np.asarray(data.idx_train)
+        n_view = (data.feat_train.shape[0] if data.setting == "ind"
+                  else data.n_nodes)
+        if n_view > self.sample_threshold:
+            agg = self._aggregate_sampled(data, train_rows)
+        else:
+            agg = self._aggregate(data)
+            agg = jnp.take(agg, jnp.asarray(train_rows), axis=0)
         labels_syn = np.asarray(self.labels_syn)
         d = agg.shape[1]
         x_syn = np.zeros((labels_syn.shape[0], d), dtype=np.float32)
         key = jax.random.key(args.seed)
         for c, n_c in self.budgets.items():
-            key, kc = jax.random.split(key)
+            key, kc, ke = jax.random.split(key, 3)
             x_c = agg[jnp.asarray(np.flatnonzero(labels_tr == c))]
             n_c = int(min(n_c, x_c.shape[0]))
-            prev = self.prev_centroids.get(c)
-            if prev is not None and prev.shape[0] >= n_c:
-                centers = jnp.asarray(prev[:n_c])
-            elif x_c.shape[0] <= n_c:
+            self._current_class = c
+            init = self._evolve_init(ke, x_c, n_c)
+            if x_c.shape[0] <= n_c:
                 reps = -(-n_c // x_c.shape[0])
                 centers = jnp.tile(x_c, (reps, 1))[:n_c]
             elif args.fuzziness == 1.0:
-                centers, _ = kmeans(kc, x_c, n_c)
+                centers, _ = kmeans(kc, x_c, n_c, init=init)
             else:
                 centers = fuzzy_cmeans(kc, x_c, n_c,
                                        float(args.fuzziness),
-                                       int(args.rep_fuzz))
+                                       int(args.rep_fuzz), init=init)
             rows = np.flatnonzero(labels_syn == c)[: n_c]
             x_syn[rows] = np.asarray(centers)[: len(rows)]
             self.prev_centroids[c] = np.asarray(centers)

@@ -78,3 +78,85 @@ def test_gecc(tmp_path, synth_dataset, fuzz):
     assert np.isfinite(np.asarray(red.feat)).all()
     (mean, _), _ = Evaluator(ds, args).evaluate(red, "GCN")
     assert mean > 0.8, (fuzz, mean)
+
+
+def test_evolving_matches_batch_quality():
+    """Evolving clustering over two partitions reaches batch-clustering
+    quality (reference gecc.py:687-1065 incremental kmeans++ + warm
+    start): partition A sees 5 of 8 blobs, partition B adds the rest;
+    the evolved centroids' SSE on the union must match a batch k-means."""
+    import jax
+    import jax.numpy as jnp
+    from graphslim_tpu.kernels.kmeans import incremental_kmeanspp, kmeans
+
+    rng = np.random.default_rng(0)
+    blobs = [rng.normal(size=(60, 6)).astype(np.float32) + 10 * c
+             for c in range(8)]
+    xA = jnp.asarray(np.concatenate(blobs[:5]))
+    xB = jnp.asarray(np.concatenate(blobs))          # second split: all 8
+    x_all = xB
+
+    cA, _ = kmeans(jax.random.key(0), xA, 5)
+    new = incremental_kmeanspp(jax.random.key(1), xB, cA, 3)
+    warm = jnp.concatenate([cA, new], axis=0)
+    cE, _ = kmeans(jax.random.key(2), xB, 8, init=warm)
+    cBatch, _ = kmeans(jax.random.key(3), x_all, 8)
+
+    def sse(centers):
+        d2 = (jnp.sum(x_all * x_all, 1)[:, None]
+              + jnp.sum(centers * centers, 1)[None, :]
+              - 2.0 * x_all @ centers.T)
+        return float(jnp.sum(jnp.min(d2, axis=1)))
+
+    assert sse(cE) <= 1.2 * sse(cBatch), (sse(cE), sse(cBatch))
+
+
+def test_gecc_evolves_across_splits(tmp_path, synth_dataset):
+    """prev_centroids from split 1 warm-start split 2; budgets that grow
+    are filled by incremental kmeans++ (no crash, finite, sane eval)."""
+    from graphslim_tpu.reduce.gecc import GECC
+
+    ds = synth_dataset
+    args = finalize(Args(dataset="synth-small", method="gecc",
+                         save_path=str(tmp_path), eval_epochs=50,
+                         run_eval=2, reduction_rate=0.05, depth=2),
+                    explicit={"eval_epochs", "run_eval",
+                              "reduction_rate", "depth"})
+    r1 = GECC(ds, args)
+    red1 = r1.reduce(ds, verbose=False)
+    # split 2: bigger budget -> extend path (incremental kmeans++)
+    args2 = finalize(Args(dataset="synth-small", method="gecc",
+                          save_path=str(tmp_path), eval_epochs=50,
+                          run_eval=2, reduction_rate=0.1, depth=2),
+                     explicit={"eval_epochs", "run_eval",
+                               "reduction_rate", "depth"})
+    r2 = GECC(ds, args2, prev_centroids=r1.prev_centroids)
+    red2 = r2.reduce(ds, verbose=False)
+    assert red2.feat.shape[0] > red1.feat.shape[0]
+    assert np.isfinite(np.asarray(red2.feat)).all()
+    # split 3: shrinking budget -> truncate path
+    r3 = GECC(ds, args, prev_centroids=r2.prev_centroids)
+    red3 = r3.reduce(ds, verbose=False)
+    assert red3.feat.shape[0] == red1.feat.shape[0]
+    (mean, _), _ = Evaluator(ds, args2).evaluate(red2, "GCN")
+    assert mean > 0.75, mean
+
+
+def test_gecc_sampled_aggregation_oracle(tmp_path, synth_dataset):
+    """With fanout >= max degree the sampled hop-mix estimate equals the
+    exact ELL hop mix (every neighbor is sampled, weights normalized)."""
+    import jax.numpy as jnp
+    from graphslim_tpu.reduce.gecc import GECC
+
+    ds = synth_dataset
+    args = finalize(Args(dataset="synth-small", method="gecc",
+                         save_path=str(tmp_path), depth=2),
+                    explicit={"depth"})
+    agent = GECC(ds, args)
+    max_deg = int(np.diff(np.asarray(ds.adj.indptr)).max())
+    agent.sample_fanout = max_deg + 1
+    train_rows = np.asarray(ds.idx_train)
+    sampled = np.asarray(agent._aggregate_sampled(ds, train_rows))
+    exact = np.asarray(jnp.take(agent._aggregate(ds),
+                                jnp.asarray(train_rows), axis=0))
+    np.testing.assert_allclose(sampled, exact, rtol=2e-2, atol=2e-2)
