@@ -3,6 +3,14 @@
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+
 import json
 
 from graphslim_tpu.config import get_args

@@ -1,7 +1,7 @@
-"""Example: GCond condensation on cora (SGC matching model).
+"""Example: variation-neighborhoods coarsening on cora.
 
-Analog of reference ``examples/train_gcond.py``; uses the reference's
-recommended hyperparameters from METHOD_CONFIGS automatically.
+Analog of reference ``examples/train_coarsen.py``: load a dataset, run the
+VariationNeighborhoods coarsener, evaluate the coarse graph with a GCN.
 """
 
 import os as _os
@@ -19,17 +19,18 @@ from graphslim_tpu.reduce import create_reducer
 
 
 def main():
-    args = finalize(Args(dataset="cora", method="gcond",
-                         reduction_rate=0.25, epochs=100,
-                         save_path="checkpoints"),
-                    explicit={"reduction_rate", "epochs"})
+    args = finalize(Args(dataset="cora",
+                         method="variation_neighborhoods",
+                         reduction_rate=0.5, save_path="checkpoints"),
+                    explicit={"reduction_rate"})
     data = load(args.dataset, split=args.split, seed=args.seed,
                 data_dir=args.load_path, pre_norm=args.pre_norm)
-    reduced = create_reducer("gcond", data, args).reduce(data,
-                                                         verbose=True)
+    agent = create_reducer("variation_neighborhoods", data, args)
+    reduced = agent.reduce(data, verbose=True)
     (mean, std), _ = Evaluator(data, args).evaluate(reduced, "GCN",
                                                     verbose=True)
-    print(f"gcond cora r=0.25: {mean * 100:.2f} ± {std * 100:.2f}")
+    print(f"variation_neighborhoods cora r=0.5: "
+          f"{mean * 100:.2f} ± {std * 100:.2f}")
 
 
 if __name__ == "__main__":

@@ -3,6 +3,14 @@
 Analog of reference ``examples/train_node_sparsification.py``.
 """
 
+import os as _os
+import sys as _sys
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+
+
 from graphslim_tpu.config import Args, finalize
 from graphslim_tpu.data import load
 from graphslim_tpu.eval import Evaluator

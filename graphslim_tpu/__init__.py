@@ -22,5 +22,17 @@ Design principles (differ deliberately from the torch/PyG reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("GRAPHSLIM_PLATFORM"):
+    # Honor a CPU/TPU override for CLI/script runs.  The bare
+    # JAX_PLATFORMS env var is ineffective in environments whose
+    # sitecustomize registers a backend unconditionally; jax.config is
+    # the authoritative switch and must flip before first backend use.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms",
+                       _os.environ["GRAPHSLIM_PLATFORM"])
+
 from graphslim_tpu import graph as graph
 from graphslim_tpu import kernels as kernels
