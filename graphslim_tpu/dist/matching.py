@@ -25,13 +25,22 @@ def pad_classes(n_class: int, n_shards: int) -> int:
     return -(-n_class // n_shards) * n_shards
 
 
-def build_sharded_match(engine, mesh: Mesh, axis: str = "data"):
+def build_sharded_match(engine, mesh: Mesh, axis: str = "data",
+                        feature_mode: str = "replicated"):
     """Return ``match(model_params, feat_syn, adj_syn_norm, key) -> loss``
     with classes sharded over ``mesh``.
 
     ``engine`` is a :class:`~graphslim_tpu.reduce.cond_base
     .CondensationBase`; padding classes carry coeff 0 and pool count 1 so
     they contribute nothing.
+
+    ``feature_mode='sharded'`` row-shards the real feature matrix over the
+    mesh (memory per device ``n·d/S``); each class block's deep feature
+    rows are fetched with the cross-shard gather
+    (:mod:`graphslim_tpu.dist.gather`) instead of a local ``take`` —
+    the real graph's dominant tensor is no longer replicated in the
+    matching path.  Labels and the sampling CSR stay replicated (ints;
+    orders of magnitude smaller than features).
     """
     n_dev = mesh.shape[axis]
     C = len(engine.classes)
@@ -53,6 +62,7 @@ def build_sharded_match(engine, mesh: Mesh, axis: str = "data"):
 
     from graphslim_tpu.reduce.cond_base import match_loss, masked_nll
     from graphslim_tpu.kernels.sample import neighbor_sample_block
+    from graphslim_tpu.dist.gather import sharded_row_gather_local
 
     B = engine.batch
     fanouts = engine.fanouts
@@ -64,8 +74,20 @@ def build_sharded_match(engine, mesh: Mesh, axis: str = "data"):
     labels_syn = engine.labels_syn
     dis_metric = engine.args.dis_metric
 
+    n_nodes = features.shape[0]
+    rows_per = -(-n_nodes // n_dev)
+    if feature_mode == "sharded":
+        pad = n_dev * rows_per - n_nodes
+        if pad:
+            features = jnp.concatenate(
+                [features, jnp.zeros((pad, features.shape[-1]),
+                                     features.dtype)])
+        feat_spec = P(axis)
+    else:
+        feat_spec = P()
+
     def local(model_params, feat_syn, adj_syn_norm, keys, pools_l,
-              counts_l, masks_l, coeffs_l):
+              counts_l, masks_l, coeffs_l, feats):
         def body(acc, inputs):
             key, pool, count, mask, coeff = inputs
             k1, k2 = jax.random.split(key)
@@ -79,7 +101,13 @@ def build_sharded_match(engine, mesh: Mesh, axis: str = "data"):
             block = neighbor_sample_block(
                 k2, adj_off.indptr, adj_off.col,
                 adj_off.values_or_ones(), self_vals, targets, fanouts)
-            feat_deep = jnp.take(features, block.node_ids[0], axis=0)
+            if feature_mode == "sharded":
+                # devices scan padded classes in lockstep, so the two
+                # collectives inside the gather stay aligned
+                feat_deep = sharded_row_gather_local(
+                    feats, block.node_ids[0], rows_per, axis)
+            else:
+                feat_deep = jnp.take(feats, block.node_ids[0], axis=0)
             y = jnp.take(labels_real, targets)
 
             def loss_real_of(p):
@@ -107,12 +135,12 @@ def build_sharded_match(engine, mesh: Mesh, axis: str = "data"):
     smapped = shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(), P(), P(axis), P(axis), P(axis), P(axis),
-                  P(axis)),
+                  P(axis), feat_spec),
         out_specs=P())
 
     def match(model_params, feat_syn, adj_syn_norm, key):
         keys = jax.random.split(key, Cp)
         return smapped(model_params, feat_syn, adj_syn_norm, keys, pools,
-                       counts, masks, coeffs)
+                       counts, masks, coeffs, features)
 
     return match

@@ -87,3 +87,45 @@ def test_halo_spmm_matches_dense(mesh):
 
     # communication: halo rows per peer << rows_per (all_gather volume)
     assert hp.halo_size < hp.base.rows_per_shard
+
+
+def test_sharded_row_gather(mesh):
+    """Cross-shard gather returns exactly x[idx] per device."""
+    from graphslim_tpu.dist.gather import make_sharded_row_gather
+
+    rng = np.random.default_rng(0)
+    n, d, S, m = 100, 16, 8, 33
+    rows_per = -(-n // S)
+    x = rng.normal(size=(S * rows_per, d)).astype(np.float32)
+    idx = rng.integers(0, n, size=(S, m)).astype(np.int32)
+    gather = make_sharded_row_gather(mesh, rows_per)
+    out = np.asarray(gather(jnp.asarray(x), jnp.asarray(idx)))
+    np.testing.assert_allclose(out, x[idx], rtol=1e-6)
+
+
+def test_sharded_feature_matching_matches_replicated(tmp_path,
+                                                     synth_dataset):
+    """feature_mode='sharded' must produce the same match loss as
+    replicated features for the same key (VERDICT round-1 item 3: the
+    matching path no longer replicates the real feature matrix)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from graphslim_tpu.dist.matching import build_sharded_match
+
+    ds = synth_dataset
+    base = dict(dataset="synth-small", method="gcond",
+                save_path=str(tmp_path), condense_model="SGC")
+    args = finalize(Args(**base), explicit=set(base))
+    engine = create_reducer("gcond", ds, args)
+    mesh8 = make_mesh(8)
+    m_rep = build_sharded_match(engine, mesh8)
+    m_shd = build_sharded_match(engine, mesh8, feature_mode="sharded")
+    key = jax.random.key(0)
+    feat_syn = engine.init_feat_syn()
+    pge_params = engine.pge.init(jax.random.key(1))
+    adj_norm = engine.syn_adj_norm(pge_params, feat_syn)
+    model_params = engine.model.init(jax.random.key(2))
+    l_rep = float(m_rep(model_params, feat_syn, adj_norm, key))
+    l_shd = float(m_shd(model_params, feat_syn, adj_norm, key))
+    assert np.isfinite(l_rep) and np.isfinite(l_shd)
+    np.testing.assert_allclose(l_shd, l_rep, rtol=1e-4)
