@@ -39,53 +39,96 @@ _PAGE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>graphslim-tpu reduced graphs</title>
 <style>
  body {{ font-family: sans-serif; margin: 20px; }}
- canvas {{ border: 1px solid #ccc; }}
+ canvas {{ border: 1px solid #ccc; cursor: grab; }}
  select {{ font-size: 14px; margin-right: 12px; }}
+ #tip {{ position: absolute; background: #222; color: #fff;
+         padding: 3px 8px; border-radius: 4px; font-size: 12px;
+         pointer-events: none; display: none; }}
 </style></head>
 <body>
 <h2>graphslim-tpu &mdash; reduced graph browser</h2>
-<select id="pick"></select>
+<label>method <select id="method"></select></label>
+<label>dataset <select id="dataset"></select></label>
+<label>rate <select id="rate"></select></label>
 <span id="meta"></span>
-<br><br><canvas id="c" width="880" height="620"></canvas>
+<div id="tip"></div>
+<br><canvas id="c" width="880" height="620"></canvas>
 <script>
+// pyvis-style live physics: continuous simulation, draggable nodes,
+// hover tooltips (reference interface/vis_graphslim.py:26-117)
 const GRAPHS = {graphs_json};
 const COLORS = ["#4e79a7","#f28e2b","#e15759","#76b7b2","#59a14f",
                 "#edc948","#b07aa1","#ff9da7","#9c755f","#bab0ac"];
-const pick = document.getElementById("pick");
-Object.keys(GRAPHS).forEach(k => {{
-  const o = document.createElement("option"); o.value = k; o.text = k;
-  pick.add(o);
+const selM = document.getElementById("method"),
+      selD = document.getElementById("dataset"),
+      selR = document.getElementById("rate"),
+      tip = document.getElementById("tip"),
+      cv = document.getElementById("c"), ctx = cv.getContext("2d");
+const keys = Object.keys(GRAPHS).map(k => {{
+  const [method, stem] = k.split("/");
+  const parts = stem.split("_");
+  const seed = parts.pop(), rate = parts.pop();
+  return {{key: k, method: method, dataset: parts.join("_"),
+           rate: rate}};
 }});
-function render(name) {{
-  const g = GRAPHS[name];
+function fill(sel, vals) {{
+  const cur = sel.value;
+  sel.innerHTML = "";
+  vals.forEach(v => {{
+    const o = document.createElement("option");
+    o.value = v; o.text = v; sel.add(o);
+  }});
+  if (vals.includes(cur)) sel.value = cur;
+}}
+function refreshSelectors() {{
+  fill(selM, [...new Set(keys.map(k => k.method))]);
+  fill(selD, [...new Set(keys.filter(k => k.method === selM.value)
+                             .map(k => k.dataset))]);
+  fill(selR, [...new Set(keys.filter(k => k.method === selM.value &&
+                                          k.dataset === selD.value)
+                             .map(k => k.rate))]);
+}}
+let g = null, px = [], vel = [], drag = -1, warm = 0;
+function pickGraph() {{
+  const hit = keys.find(k => k.method === selM.value &&
+                             k.dataset === selD.value &&
+                             k.rate === selR.value);
+  if (!hit) return;
+  g = GRAPHS[hit.key];
   document.getElementById("meta").textContent =
     `${{g.nodes.length}} nodes, ${{g.edges.length}} edges`;
-  const cv = document.getElementById("c"), ctx = cv.getContext("2d");
+  px = g.nodes.map(() => [60 + Math.random()*760,
+                          60 + Math.random()*500]);
+  vel = g.nodes.map(() => [0, 0]);
+  warm = 0;
+}}
+function stepPhysics() {{
   const N = g.nodes.length;
-  let px = g.nodes.map(() => [Math.random()*880, Math.random()*620]);
-  let vel = g.nodes.map(() => [0, 0]);
-  for (let it = 0; it < 150; it++) {{
-    for (let i = 0; i < N; i++) for (let j = i+1; j < N; j++) {{
-      let dx = px[i][0]-px[j][0], dy = px[i][1]-px[j][1];
-      let d2 = Math.max(dx*dx+dy*dy, 25);
-      let f = 1200/d2;
-      let d = Math.sqrt(d2);
-      vel[i][0] += f*dx/d; vel[i][1] += f*dy/d;
-      vel[j][0] -= f*dx/d; vel[j][1] -= f*dy/d;
-    }}
-    g.edges.forEach(([a,b]) => {{
-      let dx = px[a][0]-px[b][0], dy = px[a][1]-px[b][1];
-      let d = Math.max(Math.sqrt(dx*dx+dy*dy), 1);
-      let f = (d-40)*0.02;
-      vel[a][0] -= f*dx/d; vel[a][1] -= f*dy/d;
-      vel[b][0] += f*dx/d; vel[b][1] += f*dy/d;
-    }});
-    for (let i = 0; i < N; i++) {{
-      px[i][0] = Math.min(860, Math.max(20, px[i][0]+vel[i][0]*0.5));
-      px[i][1] = Math.min(600, Math.max(20, px[i][1]+vel[i][1]*0.5));
-      vel[i][0] *= 0.6; vel[i][1] *= 0.6;
-    }}
+  const damp = warm < 200 ? 0.6 : 0.85;
+  for (let i = 0; i < N; i++) for (let j = i+1; j < N; j++) {{
+    let dx = px[i][0]-px[j][0], dy = px[i][1]-px[j][1];
+    let d2 = Math.max(dx*dx+dy*dy, 25), d = Math.sqrt(d2), f = 1200/d2;
+    vel[i][0] += f*dx/d; vel[i][1] += f*dy/d;
+    vel[j][0] -= f*dx/d; vel[j][1] -= f*dy/d;
   }}
+  g.edges.forEach(([a,b]) => {{
+    let dx = px[a][0]-px[b][0], dy = px[a][1]-px[b][1];
+    let d = Math.max(Math.sqrt(dx*dx+dy*dy), 1), f = (d-40)*0.02;
+    vel[a][0] -= f*dx/d; vel[a][1] -= f*dy/d;
+    vel[b][0] += f*dx/d; vel[b][1] += f*dy/d;
+  }});
+  // mild centering so disconnected pieces stay on screen
+  for (let i = 0; i < N; i++) {{
+    vel[i][0] += (440 - px[i][0]) * 0.0005;
+    vel[i][1] += (310 - px[i][1]) * 0.0005;
+    if (i === drag) continue;
+    px[i][0] = Math.min(870, Math.max(10, px[i][0]+vel[i][0]*0.5));
+    px[i][1] = Math.min(610, Math.max(10, px[i][1]+vel[i][1]*0.5));
+    vel[i][0] *= damp; vel[i][1] *= damp;
+  }}
+  warm++;
+}}
+function draw() {{
   ctx.clearRect(0, 0, 880, 620);
   ctx.strokeStyle = "rgba(120,120,120,0.25)";
   g.edges.forEach(([a,b]) => {{
@@ -94,11 +137,41 @@ function render(name) {{
   }});
   g.nodes.forEach((lab, i) => {{
     ctx.fillStyle = COLORS[lab % COLORS.length];
-    ctx.beginPath(); ctx.arc(px[i][0], px[i][1], 4, 0, 6.3); ctx.fill();
+    ctx.beginPath(); ctx.arc(px[i][0], px[i][1], 5, 0, 6.3); ctx.fill();
   }});
 }}
-pick.onchange = () => render(pick.value);
-render(pick.value);
+function loop() {{
+  if (g) {{ stepPhysics(); draw(); }}
+  requestAnimationFrame(loop);
+}}
+function nodeAt(x, y) {{
+  for (let i = 0; i < px.length; i++) {{
+    const dx = px[i][0]-x, dy = px[i][1]-y;
+    if (dx*dx + dy*dy < 64) return i;
+  }}
+  return -1;
+}}
+cv.onmousedown = e => {{
+  const r = cv.getBoundingClientRect();
+  drag = nodeAt(e.clientX-r.left, e.clientY-r.top);
+}};
+cv.onmousemove = e => {{
+  const r = cv.getBoundingClientRect();
+  const x = e.clientX-r.left, y = e.clientY-r.top;
+  if (drag >= 0) {{ px[drag] = [x, y]; vel[drag] = [0, 0]; warm = 0; }}
+  const i = nodeAt(x, y);
+  if (i >= 0) {{
+    tip.style.display = "block";
+    tip.style.left = (e.pageX + 12) + "px";
+    tip.style.top = (e.pageY + 12) + "px";
+    tip.textContent = `node ${{i}} · class ${{g.nodes[i]}}`;
+  }} else tip.style.display = "none";
+}};
+cv.onmouseup = () => drag = -1;
+selM.onchange = () => {{ refreshSelectors(); pickGraph(); }};
+selD.onchange = () => {{ refreshSelectors(); pickGraph(); }};
+selR.onchange = pickGraph;
+refreshSelectors(); pickGraph(); loop();
 </script></body></html>
 """
 
