@@ -54,7 +54,7 @@ def _loop_fit(model, key, train, val, epochs, lr=0.01, wd=5e-4):
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, key, lr_now):
+    def step(params, opt_state, best_acc, best_params, key, lr_now):
         def loss_of(p):
             out = model.apply(p, tx, tadj, training=True, key=key)
             return utils.nll_loss(jnp.take(out, tidx, axis=0), ty)
@@ -63,25 +63,32 @@ def _loop_fit(model, key, train, val, epochs, lr=0.01, wd=5e-4):
         updates, opt_state = opt.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + lr_now * u, params,
                               updates)
-        return params, opt_state, loss
-
-    @jax.jit
-    def val_acc(params):
         out = model.apply(params, vx, vadj, training=False)
         if vidx is not None:
             out = jnp.take(out, vidx, axis=0)
-        return jnp.mean(jnp.argmax(out, -1) == vy)
+        acc = jnp.mean(jnp.argmax(out, -1) == vy)
+        better = acc > best_acc
+        best_acc = jnp.where(better, acc, best_acc)
+        best_params = jax.tree.map(
+            lambda n, o: jnp.where(better, n, o), params, best_params)
+        return params, opt_state, best_acc, best_params
 
-    best_acc, best_params = -1.0, params
+    # best-val tracking stays ON DEVICE: no per-epoch host readback (the
+    # tunneled backend pays ~seconds per sync)
+    best_acc = jnp.float32(-1.0)
+    best_params = params
     for ep in range(epochs):
         key, dk = jax.random.split(key)
         lr_now = lr * (0.1 if (ep >= epochs // 2 and lr > 1e-3) else 1.0)
-        params, opt_state, loss = step(params, opt_state, dk,
-                                       jnp.float32(lr_now))
-        acc = float(val_acc(params))
-        if acc > best_acc:
-            best_acc, best_params = acc, params
-    return best_params, best_acc
+        params, opt_state, best_acc, best_params = step(
+            params, opt_state, best_acc, best_params, dk,
+            jnp.float32(lr_now))
+        if ep % 8 == 7:
+            # throttle async dispatch: unbounded in-flight steps exhaust
+            # HBM on the tunneled backend (each queued execution pins its
+            # workspace until it runs)
+            jax.block_until_ready(best_acc)
+    return best_params, float(best_acc)
 
 
 def full_graph_acc(ds, model_type="GCN", epochs=300, hidden=256, seed=0,

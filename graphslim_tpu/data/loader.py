@@ -53,6 +53,12 @@ _SPECS = [
                 "random", feature_noise=1.0, center_scale=2.0),
     DatasetSpec("synth-ind-small", 800, 48, 5, 6.0, 0.75, "standardize",
                 "ind", "random", feature_noise=1.0, center_scale=2.0),
+    # Calibrated-hardness fixture: cora-like knobs at fixture scale, for
+    # tests that must see a non-saturated regime (random coreset below
+    # full graph; condensation measurably better than random).
+    DatasetSpec("synth-hard", 900, 48, 5, 5.0, 0.78, "row_norm", "trans",
+                "random", feature_noise=1.2, center_scale=0.35,
+                label_noise=0.10, target_acc=0.8),
     # Planetoid twins: 'random' split = 20 train / 30 val per class,
     # matching the PUBLIC Planetoid split's supervision scale (the
     # reference trains cora on 140 labeled nodes, not 80 % of the graph).
