@@ -1,0 +1,168 @@
+"""Cache-blocked Pallas SpMM — the round-2 re-attempt (VERDICT r1 item 4).
+
+Round 1 established that the XLA row gather runs at a fixed effective
+rate regardless of index locality or element width, and rejected per-row
+DMA and block-dense MXU designs (docs/PERF.md).  The remaining idea —
+this kernel — restructures the *memory system* instead of the gather:
+
+* edges are pre-sorted into ``(dst_tile, src_tile)`` blocks and packed
+  into fixed-size chunks (``CHUNK`` edges, padded with val=0);
+* the grid walks chunks dst-major; Pallas pipelining streams each
+  referenced ``x`` source tile HBM→VMEM **contiguously at full HBM
+  bandwidth** (the index maps reuse a tile while consecutive chunks
+  share it), replacing the random HBM gather with an in-VMEM gather;
+* per chunk the kernel gathers ``x_tile[src_local]`` (VMEM-resident) and
+  scatter-adds into the output tile with a one-hot ``[TD, CHUNK] @
+  [CHUNK, d]`` matmul on the MXU (accumulation across chunks of the same
+  dst tile happens in the VMEM output block, zeroed on first visit).
+
+Whether this wins is decided by measurement on the chip
+(``benchmark/probe_spmm.py``): the key rate is the Mosaic VMEM gather.
+HBM traffic is ``(n/TD)·|x|`` streamed + edge chunks, independent of
+degree skew; padding waste is the blocked-COO chunk fill factor,
+reported by :func:`build_blocked`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class BlockedCOO(NamedTuple):
+    """Chunked (dst_tile, src_tile)-blocked COO layout."""
+
+    dst_local: jax.Array   # [C, CHUNK] int32, row within dst tile
+    src_local: jax.Array   # [C, CHUNK] int32, row within src tile
+    val: jax.Array         # [C, CHUNK] float32 (0 = padding)
+    dst_tile: jax.Array    # [C] int32, per-chunk dst tile id
+    src_tile: jax.Array    # [C] int32, per-chunk src tile id
+    first_of_dst: jax.Array  # [C] int32 (1 = first chunk of its dst tile)
+    n_rows: int
+    td: int
+    ts: int
+    chunk: int
+    fill: float            # nnz / (C * CHUNK) — padding efficiency
+
+
+def build_blocked(indptr: np.ndarray, col: np.ndarray,
+                  val: np.ndarray | None, td: int = 1024,
+                  ts: int = 4096, chunk: int = 2048) -> BlockedCOO:
+    """Host-side layout build from CSR (rows sorted ⇒ dst-major order)."""
+    indptr = np.asarray(indptr)
+    col = np.asarray(col)
+    n = indptr.shape[0] - 1
+    nnz = col.shape[0]
+    values = (np.ones(nnz, dtype=np.float32) if val is None
+              else np.asarray(val, dtype=np.float32))
+    row = np.repeat(np.arange(n, dtype=np.int64),
+                    np.diff(indptr).astype(np.int64))
+    dt = row // td
+    st = col // ts
+    # sort by (dst_tile, src_tile); CSR order already sorts by row ⇒
+    # stable sort keeps dst-major order inside ties
+    order = np.lexsort((st, dt))
+    row, c2, v2, dt, st = (row[order], col[order], values[order],
+                           dt[order], st[order])
+    # split runs of equal (dt, st) into CHUNK-sized pieces
+    key = dt * ((n + ts - 1) // ts + 1) + st
+    boundaries = np.flatnonzero(np.diff(key)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [nnz]])
+    c_dst, c_src, c_val, c_dt, c_st = [], [], [], [], []
+    for s, e in zip(starts, ends):
+        for off in range(s, e, chunk):
+            hi = min(off + chunk, e)
+            m = hi - off
+            dl = np.zeros(chunk, np.int32)
+            sl = np.zeros(chunk, np.int32)
+            vv = np.zeros(chunk, np.float32)
+            dl[:m] = (row[off:hi] - dt[off] * td).astype(np.int32)
+            sl[:m] = (c2[off:hi] - st[off] * ts).astype(np.int32)
+            vv[:m] = v2[off:hi]
+            c_dst.append(dl)
+            c_src.append(sl)
+            c_val.append(vv)
+            c_dt.append(dt[off])
+            c_st.append(st[off])
+    C = len(c_dst)
+    dt_arr = np.asarray(c_dt, np.int32)
+    first = np.ones(C, np.int32)
+    first[1:] = (dt_arr[1:] != dt_arr[:-1]).astype(np.int32)
+    return BlockedCOO(
+        dst_local=jnp.asarray(np.stack(c_dst)),
+        src_local=jnp.asarray(np.stack(c_src)),
+        val=jnp.asarray(np.stack(c_val)),
+        dst_tile=jnp.asarray(dt_arr),
+        src_tile=jnp.asarray(np.asarray(c_st, np.int32)),
+        first_of_dst=jnp.asarray(first),
+        n_rows=n, td=td, ts=ts, chunk=chunk,
+        fill=float(nnz) / float(C * chunk))
+
+
+def spmm_blocked(bc: BlockedCOO, x: jax.Array,
+                 interpret: bool = False) -> jax.Array:
+    """A @ x via the chunked layout.  ``x`` padded to tile multiples."""
+    td, ts, chunk = bc.td, bc.ts, bc.chunk
+    d = x.shape[-1]
+    n_dst_tiles = -(-bc.n_rows // td)
+    n_src_tiles = -(-x.shape[0] // ts)
+    xp = x
+    if x.shape[0] % ts:
+        xp = jnp.concatenate(
+            [x, jnp.zeros((n_src_tiles * ts - x.shape[0], d), x.dtype)])
+    C = bc.dst_local.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,      # dst_tile, src_tile, first_of_dst
+        grid=(C,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda c, dt, st, fi: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda c, dt, st, fi: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda c, dt, st, fi: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ts, d), lambda c, dt, st, fi: (st[c], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((td, d), lambda c, dt, st, fi: (dt[c], 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kern(dt_ref, st_ref, fi_ref, dst_ref, src_ref, val_ref, x_ref,
+             out_ref):
+        c = pl.program_id(0)
+        _kernel_one(fi_ref[c], dst_ref[0], src_ref[0], val_ref[0],
+                    x_ref, out_ref)
+
+    def _kernel_one(first, dst, src, val, x_ref, out_ref):
+        td_ = out_ref.shape[0]
+        chunk_ = dst.shape[0]
+
+        @pl.when(first == 1)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        gathered = jnp.take(x_ref[:], src, axis=0)
+        weighted = gathered * val[:, None]
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (td_, chunk_), 0)
+                  == dst[None, :])
+        out_ref[:] += jax.lax.dot_general(
+            onehot.astype(weighted.dtype), weighted,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_dst_tiles * td, d), jnp.float32),
+        interpret=interpret,
+    )(bc.dst_tile, bc.src_tile, bc.first_of_dst,
+      bc.dst_local, bc.src_local, bc.val, xp)
+    return out[: bc.n_rows]
