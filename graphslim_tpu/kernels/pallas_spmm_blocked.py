@@ -35,11 +35,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 class BlockedCOO(NamedTuple):
-    """Chunked (dst_tile, src_tile)-blocked COO layout."""
+    """Chunked (dst_tile, src_tile)-blocked COO layout.
+
+    ``bounds[c, r]`` is the first edge slot of chunk ``c`` whose
+    ``dst_local >= r`` (edges are dst-sorted within a chunk by
+    construction), enabling the cumsum/boundary-difference scatter that
+    stays cheap at large ``td`` (the one-hot matmul scatter costs
+    ``td·d`` FLOPs per edge and dies above td≈512).
+    """
 
     dst_local: jax.Array   # [C, CHUNK] int32, row within dst tile
     src_local: jax.Array   # [C, CHUNK] int32, row within src tile
     val: jax.Array         # [C, CHUNK] float32 (0 = padding)
+    bounds: jax.Array      # [C, TD + 1] int32 (see above)
     dst_tile: jax.Array    # [C] int32, per-chunk dst tile id
     src_tile: jax.Array    # [C] int32, per-chunk src tile id
     first_of_dst: jax.Array  # [C] int32 (1 = first chunk of its dst tile)
@@ -74,7 +82,7 @@ def build_blocked(indptr: np.ndarray, col: np.ndarray,
     boundaries = np.flatnonzero(np.diff(key)) + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [nnz]])
-    c_dst, c_src, c_val, c_dt, c_st = [], [], [], [], []
+    c_dst, c_src, c_val, c_dt, c_st, c_bnd = [], [], [], [], [], []
     for s, e in zip(starts, ends):
         for off in range(s, e, chunk):
             hi = min(off + chunk, e)
@@ -85,9 +93,14 @@ def build_blocked(indptr: np.ndarray, col: np.ndarray,
             dl[:m] = (row[off:hi] - dt[off] * td).astype(np.int32)
             sl[:m] = (c2[off:hi] - st[off] * ts).astype(np.int32)
             vv[:m] = v2[off:hi]
+            # first slot with dst_local >= r (valid edges only); padding
+            # slots land at >= m so every row's range excludes them
+            bnd = np.searchsorted(dl[:m], np.arange(td + 1),
+                                  side="left").astype(np.int32)
             c_dst.append(dl)
             c_src.append(sl)
             c_val.append(vv)
+            c_bnd.append(bnd)
             c_dt.append(dt[off])
             c_st.append(st[off])
     C = len(c_dst)
@@ -98,6 +111,7 @@ def build_blocked(indptr: np.ndarray, col: np.ndarray,
         dst_local=jnp.asarray(np.stack(c_dst)),
         src_local=jnp.asarray(np.stack(c_src)),
         val=jnp.asarray(np.stack(c_val)),
+        bounds=jnp.asarray(np.stack(c_bnd)),
         dst_tile=jnp.asarray(dt_arr),
         src_tile=jnp.asarray(np.asarray(c_st, np.int32)),
         first_of_dst=jnp.asarray(first),
@@ -105,9 +119,17 @@ def build_blocked(indptr: np.ndarray, col: np.ndarray,
         fill=float(nnz) / float(C * chunk))
 
 
-def spmm_blocked(bc: BlockedCOO, x: jax.Array,
-                 interpret: bool = False) -> jax.Array:
-    """A @ x via the chunked layout.  ``x`` padded to tile multiples."""
+def spmm_blocked(bc: BlockedCOO, x: jax.Array, interpret: bool = False,
+                 scatter: str = "cumsum") -> jax.Array:
+    """A @ x via the chunked layout.  ``x`` padded to tile multiples.
+
+    ``scatter='onehot'`` scatter-adds with a ``[td, chunk]`` one-hot MXU
+    matmul (simple; cost ``td·d`` FLOPs/edge — only viable for small
+    ``td``).  ``scatter='cumsum'`` does an inclusive cumsum over the
+    dst-sorted chunk then a boundary-difference per output row (two
+    ``[td]`` VMEM gathers) — O(d) per edge, the large-``td``
+    configuration the bandwidth analysis requires.
+    """
     td, ts, chunk = bc.td, bc.ts, bc.chunk
     d = x.shape[-1]
     n_dst_tiles = -(-bc.n_rows // td)
@@ -128,6 +150,8 @@ def spmm_blocked(bc: BlockedCOO, x: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, chunk), lambda c, dt, st, fi: (c, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, td + 1), lambda c, dt, st, fi: (c, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, d), lambda c, dt, st, fi: (st[c], 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -135,28 +159,38 @@ def spmm_blocked(bc: BlockedCOO, x: jax.Array,
                                memory_space=pltpu.VMEM),
     )
 
-    def kern(dt_ref, st_ref, fi_ref, dst_ref, src_ref, val_ref, x_ref,
-             out_ref):
+    def kern(dt_ref, st_ref, fi_ref, dst_ref, src_ref, val_ref,
+             bnd_ref, x_ref, out_ref):
         c = pl.program_id(0)
-        _kernel_one(fi_ref[c], dst_ref[0], src_ref[0], val_ref[0],
-                    x_ref, out_ref)
-
-    def _kernel_one(first, dst, src, val, x_ref, out_ref):
-        td_ = out_ref.shape[0]
-        chunk_ = dst.shape[0]
+        first = fi_ref[c]
+        dst, src, val = dst_ref[0], src_ref[0], val_ref[0]
 
         @pl.when(first == 1)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        gathered = jnp.take(x_ref[:], src, axis=0)
+        gathered = jnp.take(x_ref[:], src, axis=0)      # [chunk, d]
         weighted = gathered * val[:, None]
-        onehot = (jax.lax.broadcasted_iota(jnp.int32, (td_, chunk_), 0)
-                  == dst[None, :])
-        out_ref[:] += jax.lax.dot_general(
-            onehot.astype(weighted.dtype), weighted,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        if scatter == "onehot":
+            onehot = (jax.lax.broadcasted_iota(jnp.int32, (td, chunk), 0)
+                      == dst[None, :])
+            out_ref[:] += jax.lax.dot_general(
+                onehot.astype(weighted.dtype), weighted,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            bnd = bnd_ref[0]                            # [td + 1]
+            cs = jnp.cumsum(weighted.astype(jnp.float32), axis=0)
+            # row r sum = cs[bnd[r+1]-1] - cs[bnd[r]-1]  (cs[-1] := 0)
+            hi_idx = bnd[1:] - 1
+            lo_idx = bnd[:-1] - 1
+            hi = jnp.where((hi_idx >= 0)[:, None],
+                           jnp.take(cs, jnp.maximum(hi_idx, 0), axis=0),
+                           0.0)
+            lo = jnp.where((lo_idx >= 0)[:, None],
+                           jnp.take(cs, jnp.maximum(lo_idx, 0), axis=0),
+                           0.0)
+            out_ref[:] += hi - lo
 
     out = pl.pallas_call(
         kern,
@@ -164,5 +198,5 @@ def spmm_blocked(bc: BlockedCOO, x: jax.Array,
         out_shape=jax.ShapeDtypeStruct((n_dst_tiles * td, d), jnp.float32),
         interpret=interpret,
     )(bc.dst_tile, bc.src_tile, bc.first_of_dst,
-      bc.dst_local, bc.src_local, bc.val, xp)
+      bc.dst_local, bc.src_local, bc.val, bc.bounds, xp)
     return out[: bc.n_rows]

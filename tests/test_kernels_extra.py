@@ -19,6 +19,7 @@ def test_blocked_spmm_matches_reference():
                        np.asarray(adj.val), td=128, ts=128, chunk=256)
     assert 0.0 < bc.fill <= 1.0
     x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    out = spmm_blocked(bc, x, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(adj.matmul(x)),
-                               atol=1e-4)
+    ref = np.asarray(adj.matmul(x))
+    for mode in ("onehot", "cumsum"):
+        out = spmm_blocked(bc, x, interpret=True, scatter=mode)
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4)
