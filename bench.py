@@ -35,6 +35,11 @@ import time
 import numpy as np
 
 BASELINE_MATCH_STEPS_PER_S = 1.0   # A100-reference estimate (see docstring)
+# Measured on THIS host (benchmark/torch_step_replica.py, 2026-08-20):
+# a torch-CPU replica of the reference outer step at identical shapes
+# runs at 58.8 s/step.  The replica pre-gathers blocks (no sampler
+# cost), so it flatters the reference — the true CPU ratio is larger.
+TORCH_CPU_STEP_S = 58.8
 HBM_GBPS_V5E = 819.0               # v5e HBM bandwidth, for SOL% accounting
 BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "400"))
 
@@ -225,6 +230,8 @@ def main() -> None:
             "step_ms": round(step_s * 1e3, 1),
             "n_syn": int(engine.n_syn),
             "match_loss": round(float(loss), 4),
+            "vs_torch_cpu_measured": round(
+                steps_per_s * TORCH_CPU_STEP_S, 0),
         })
         _log(f"gcond outer step {_RESULT['extra']['step_ms']} ms "
              f"-> {steps_per_s:.2f} steps/s")

@@ -177,6 +177,7 @@ def main():
     ap.add_argument("--center_scale", type=float, default=None)
     ap.add_argument("--feature_noise", type=float, default=None)
     ap.add_argument("--label_noise", type=float, default=None)
+    ap.add_argument("--feature_mix", type=float, default=None)
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--coreset", action="store_true",
                     help="also evaluate random coreset at the rep. rate")
@@ -185,7 +186,8 @@ def main():
     name = loader.normalize_name(ns.dataset)
     spec = loader.DATASET_SPECS[name]
     over = {k: getattr(ns, k) for k in
-            ("center_scale", "feature_noise", "label_noise")
+            ("center_scale", "feature_noise", "label_noise",
+             "feature_mix")
             if getattr(ns, k) is not None}
     if over:
         spec = dataclasses.replace(spec, **over)
@@ -196,7 +198,8 @@ def main():
     print(f"[{name}] loaded in {time.time()-t0:.1f}s  "
           f"n={ds.n_nodes} e={ds.adj.nnz} train={len(ds.idx_train)} "
           f"knobs: cs={spec.center_scale} fn={spec.feature_noise} "
-          f"ln={spec.label_noise}", file=sys.stderr)
+          f"ln={spec.label_noise} mx={spec.feature_mix}",
+          file=sys.stderr)
 
     gcn, gcn_val = full_graph_acc(ds, "GCN", epochs=ns.epochs)
     print(f"[{name}] GCN={gcn:.4f} (+{time.time()-t0:.0f}s)",

@@ -19,7 +19,8 @@ def generate(n_nodes: int, n_feat: int, nclass: int, avg_degree: float,
              degree_power: float = 0.9,
              class_skew: float = 0.3,
              center_scale: float = 2.0,
-             label_noise: float = 0.0) -> tuple[np.ndarray, np.ndarray,
+             label_noise: float = 0.0,
+             feature_mix: float = 0.3) -> tuple[np.ndarray, np.ndarray,
                                                 np.ndarray]:
     """Return ``(edge_index [2,E], feat [n,d] float32, labels [n] int32)``.
 
@@ -97,7 +98,12 @@ def generate(n_nodes: int, n_feat: int, nclass: int, avg_degree: float,
          (edge_index[0], edge_index[1])), shape=(n_nodes, n_nodes))
     deg_out = np.maximum(np.asarray(A.sum(1)).ravel(), 1.0)
     mix = (A @ feat) / deg_out[:, None].astype(np.float32)
-    feat = 0.7 * feat + 0.3 * mix.astype(np.float32)
+    # feature_mix controls how much graph smoothing is baked INTO the
+    # raw features: high values hand an MLP the aggregated signal for
+    # free (GCN ≈ MLP); low values keep the structural signal reachable
+    # only through eval-time propagation (GCN >> MLP, like real arxiv)
+    feat = (1.0 - feature_mix) * feat + \
+        feature_mix * mix.astype(np.float32)
 
     # --- observed-label noise (after structure/features) -----------------
     if label_noise > 0.0:
