@@ -11,7 +11,11 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} on stdout
 * a watchdog thread force-prints the best JSON so far and exits if the
   script is still running near the soft deadline (GRAFT_BENCH_BUDGET_S,
   default 400 s), so an external ``timeout`` can no longer produce an
-  empty capture.
+  empty capture;
+* the FIRST device→host readback of a process can stall 200-350 s on the
+  tunneled backend (measured 2026-08-21) — a background thread warms the
+  d2h channel at t=0, overlapping the stall with dataset load and
+  compiles, and all timed readbacks are tiny jitted slices.
 
 Primary metric: full GCond outer steps per second (sample + real grads for
 all 40 classes + PGE adjacency + nested-grad match loss + optimizer update)
@@ -52,6 +56,7 @@ _RESULT: dict = {
     "extra": {},
 }
 _PRINTED = threading.Event()
+_D2H_WARM = threading.Event()
 
 
 def _log(msg: str) -> None:
@@ -98,6 +103,29 @@ def _setup_jax():
     return jax
 
 
+def _warm_d2h(jax) -> None:
+    """Warm the device→host channel in the background.
+
+    Measured on the tunneled backend (2026-08-21): the FIRST d2h readback
+    of a process can stall 200-350 s (channel establishment); every
+    subsequent readback is milliseconds.  All timed sections below wait on
+    ``_D2H_WARM`` so the stall overlaps dataset load + compiles instead of
+    eating the measurement budget.
+    """
+    try:
+        import jax.numpy as jnp
+        t0 = time.time()
+        a = jax.jit(lambda v: v + 1.0)(jnp.zeros((8, 128), jnp.float32))
+        np.asarray(a)
+        _RESULT["extra"]["d2h_warm_s"] = round(time.time() - t0, 1)
+        _log(f"d2h channel warm ({_RESULT['extra']['d2h_warm_s']}s)")
+    except Exception as e:
+        _RESULT["extra"]["d2h_warm_error"] = repr(e)[:200]
+        _log(f"d2h warmup failed: {e!r}")
+    finally:
+        _D2H_WARM.set()
+
+
 def _ell_bytes_moved(ell, d: int, itemsize: int = 4) -> int:
     """HBM traffic of one spmm_ell call (gathers dominate)."""
     total = 0
@@ -121,6 +149,7 @@ def _ell_bytes_moved(ell, d: int, itemsize: int = 4) -> int:
 def main() -> None:
     threading.Thread(target=_watchdog, daemon=True).start()
     jax = _setup_jax()
+    threading.Thread(target=_warm_d2h, args=(jax,), daemon=True).start()
     import jax.numpy as jnp  # noqa: F401
     import optax
 
@@ -146,17 +175,22 @@ def main() -> None:
         # 4.6M-edge arrays into the HLO as constants (~100 MB program,
         # 30-120 s compiles on the remote-compile backend vs ~5 s here).
         spmm = jax.jit(lambda e, xx: e.matmul(xx))
+        # tiny-slice peek: forces the remote chain to drain (data dep)
+        # without a big transfer; block_until_ready alone returns early
+        # on the tunneled backend and full-array readbacks are slow
+        peek = jax.jit(lambda o: jnp.sum(o[:64]))
         t0 = time.time()
-        out = spmm(ell, x)
-        _ = float(out[0, 0])   # forced readback: block_until_ready on the
-        #                        tunneled backend can return before the
-        #                        remote execution actually finishes
+        out = spmm(ell, x)        # dispatch + compile (cache-warm)
+        _RESULT["extra"]["spmm_dispatch_s"] = round(time.time() - t0, 1)
+        _D2H_WARM.wait(timeout=max(BUDGET_S - (time.time() - _T0) - 20, 1))
+        t0 = time.time()
+        _ = float(np.asarray(peek(out)))   # compile peek + drain
         _RESULT["extra"]["spmm_compile_s"] = round(time.time() - t0, 1)
         n_rep = 30
         t0 = time.time()
         for _ in range(n_rep):
             out = spmm(ell, out)   # chained: forces sequential execution
-        _ = float(out[0, 0])
+        _ = float(np.asarray(peek(out)))   # ~25 ms overhead once warm
         spmm_s = (time.time() - t0) / n_rep
         bytes_moved = _ell_bytes_moved(ell, int(x.shape[-1]))
         sol_pct = bytes_moved / (HBM_GBPS_V5E * 1e9) / spmm_s * 100.0
@@ -176,6 +210,7 @@ def main() -> None:
 
     # --- primary: GCond outer step on arxiv r=0.01 -----------------------
     try:
+        _D2H_WARM.wait(timeout=max(BUDGET_S - (time.time() - _T0) - 20, 1))
         args = finalize(
             Args(dataset="ogbn-arxiv", method="gcond",
                  save_path="/tmp/graft_bench", run_eval=1, run_inter_eval=1,

@@ -1,0 +1,120 @@
+"""GAT edge-softmax design probe on the real chip (VERDICT r1 item 9).
+
+Measures one full GAT attention layer (scores + edge softmax + weighted
+aggregation) at ogbn-arxiv scale, comparing:
+  1. segment path: edge-list gathers + segment_max/segment_sum softmax +
+     message scatter (the PyG-equivalent formulation);
+  2. ELL path: row-local softmax on padded degree buckets + gather+einsum
+     aggregation (kernels/ell.attention_ell — zero scatters).
+
+Also probes the on-device fixed-fanout sampler vs a host-side numpy
+equivalent (VERDICT: "sampler never measured").  Results land in
+docs/PERF.md.  Run exclusively (nothing else on the chip).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(_REPO, ".jax_cache"))
+
+
+def bench(fn, *args, reps=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    # forced readback: block_until_ready on the tunneled backend can
+    # return before the remote execution finishes
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    return (time.time() - t0) / reps
+
+
+def main() -> None:
+    from graphslim_tpu.data import load
+    from graphslim_tpu.kernels.ell import attention_ell
+    from graphslim_tpu.kernels.segment import segment_softmax
+
+    print("backend:", jax.default_backend(), flush=True)
+    ds = load("ogbn-arxiv", split="fixed", seed=0)
+    sp = ds.adj_norm()
+    ell = ds.adj_norm_ell()
+    n = ds.n_nodes
+    H, h = 8, 32
+    key = jax.random.key(0)
+    feat = jax.random.normal(key, (n, H, h), jnp.float32)
+    a_dst = jax.random.normal(jax.random.key(1), (n, H), jnp.float32)
+    a_src = jax.random.normal(jax.random.key(2), (n, H), jnp.float32)
+
+    def seg_layer(row, col, val, a_d, a_s, f):
+        scores = jnp.take(a_d, row, axis=0) + jnp.take(a_s, col, axis=0)
+        scores = jax.nn.leaky_relu(scores, 0.2)
+        att = segment_softmax(scores, row, n, indices_are_sorted=True)
+        att = att * val[:, None]
+        msgs = jnp.take(f, col, axis=0) * att[..., None]
+        return jax.ops.segment_sum(msgs, row, num_segments=n,
+                                   indices_are_sorted=True)
+
+    seg = jax.jit(seg_layer)
+    t = bench(seg, sp.row, sp.col, sp.val, a_dst, a_src, feat, reps=10)
+    e = sp.nnz
+    print(f"segment attention (E={e}, H={H}, h={h}): {t*1e3:7.2f} ms "
+          f"= {e / t / 1e6:6.1f} Medges/s", flush=True)
+
+    ell_fn = jax.jit(lambda el, a_d, a_s, f: attention_ell(el, a_d, a_s, f))
+    t = bench(ell_fn, ell, a_dst, a_src, feat, reps=10)
+    print(f"ELL attention     (E={e}, H={H}, h={h}): {t*1e3:7.2f} ms "
+          f"= {e / t / 1e6:6.1f} Medges/s", flush=True)
+
+    # --- sampler probe: on-device fanout sampler vs host numpy ----------
+    from graphslim_tpu.kernels.sample import neighbor_sample_block
+    h_adj = ds.adj_norm_host()
+    indptr = jnp.asarray(h_adj.indptr)
+    col = jnp.asarray(h_adj.col)
+    val = jnp.asarray(h_adj.val)
+    self_val = jnp.ones((n,), jnp.float32)
+    seeds = jax.random.randint(jax.random.key(3), (1024,), 0, n)
+    samp = jax.jit(lambda k, s: neighbor_sample_block(
+        k, indptr, col, val, self_val, s, (15, 10)))
+    t = bench(samp, jax.random.key(4), seeds, reps=20)
+    print(f"on-device sampler (1024 seeds, fanouts 15,10): {t*1e3:7.2f} ms",
+          flush=True)
+
+    np_indptr = np.asarray(h_adj.indptr)
+    np_col = np.asarray(h_adj.col)
+    rng = np.random.default_rng(0)
+    np_seeds = np.asarray(seeds)
+
+    def host_sample(seeds_np):
+        out = np.zeros((seeds_np.shape[0], 15), np.int32)
+        for i, s in enumerate(seeds_np):
+            nb = np_col[np_indptr[s]:np_indptr[s + 1]]
+            if nb.size:
+                out[i] = rng.choice(nb, 15, replace=True)
+        return out
+
+    t0 = time.time()
+    for _ in range(5):
+        hop1 = host_sample(np_seeds)                 # 1024 x 15
+        host_sample(hop1.reshape(-1)[:4096])         # capped 2nd hop
+    t = (time.time() - t0) / 5
+    print(f"host numpy sampler (PARTIAL 2-hop, no device transfer "
+          f"cost counted): {t*1e3:7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,10 +69,9 @@ class Evaluator:
         return red.feat, adj_n, red.labels
 
     def _full_adj(self, model_type: str):
-        """Normalized full adjacency — ELL fast layout except for GAT
-        (which needs explicit edge lists for attention)."""
-        if model_type == "GAT":
-            return self.data.adj_norm()
+        """Normalized full adjacency in the ELL fast layout.  GAT included:
+        its edge softmax runs scatter-free on the padded buckets
+        (kernels/ell.attention_ell, measured in docs/PERF.md)."""
         return self.data.adj_norm_ell()
 
     def _val_tuple(self, model_type: str):

@@ -27,6 +27,7 @@ import numpy as np
 class EllBucket(NamedTuple):
     idx: jax.Array   # [n_b, K] int32 neighbor ids (global)
     val: jax.Array   # [n_b, K] float32 (0 for padding)
+    rows: jax.Array  # [n_b] int32 global row id of each bucket row
 
 
 class EllAdj:
@@ -39,12 +40,13 @@ class EllAdj:
     """
 
     def __init__(self, buckets, inv_perm, heavy_row, heavy_col,
-                 heavy_val, n_heavy: int, n_rows: int):
+                 heavy_val, heavy_rows, n_heavy: int, n_rows: int):
         self.buckets = tuple(buckets)
         self.inv_perm = inv_perm
         self.heavy_row = heavy_row
         self.heavy_col = heavy_col
         self.heavy_val = heavy_val
+        self.heavy_rows = heavy_rows   # [n_heavy] global row ids
         self.n_heavy = n_heavy
         self.n_rows = n_rows
 
@@ -59,7 +61,7 @@ class EllAdj:
 
     def tree_flatten(self):
         children = (self.buckets, self.inv_perm, self.heavy_row,
-                    self.heavy_col, self.heavy_val)
+                    self.heavy_col, self.heavy_val, self.heavy_rows)
         return children, (self.n_heavy, self.n_rows)
 
     @classmethod
@@ -102,7 +104,8 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray,
         mask = slot < deg[rows][:, None]
         idx = np.where(mask, indices[pos], 0).astype(np.int32)
         val = np.where(mask, values[pos], 0.0).astype(np.float32)
-        buckets.append(EllBucket(jnp.asarray(idx), jnp.asarray(val)))
+        buckets.append(EllBucket(jnp.asarray(idx), jnp.asarray(val),
+                                 jnp.asarray(rows.astype(np.int32))))
         segments.append(rows)
 
     heavy_rows = np.flatnonzero(deg > cap)
@@ -116,9 +119,10 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray,
         heavy_row = jnp.asarray(hr)
         heavy_col = jnp.asarray(indices[pos].astype(np.int32))
         heavy_val = jnp.asarray(values[pos])
+        heavy_rows_g = jnp.asarray(heavy_rows.astype(np.int32))
         segments.append(heavy_rows)
     else:
-        heavy_row = heavy_col = heavy_val = None
+        heavy_row = heavy_col = heavy_val = heavy_rows_g = None
 
     # inverse permutation: row r → its position in concat(buckets, heavy,
     # zeros); zero-degree rows map to the trailing zeros row.
@@ -130,7 +134,7 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray,
     return EllAdj(buckets=tuple(buckets), inv_perm=jnp.asarray(inv,
                                                                jnp.int32),
                   heavy_row=heavy_row, heavy_col=heavy_col,
-                  heavy_val=heavy_val,
+                  heavy_val=heavy_val, heavy_rows=heavy_rows_g,
                   n_heavy=int(heavy_rows.size), n_rows=n)
 
 
@@ -156,3 +160,72 @@ def ell_from_sparse(adj, cap: int = 256) -> EllAdj:
     return build_ell(np.asarray(adj.indptr), np.asarray(adj.col),
                      None if adj.val is None else np.asarray(adj.val),
                      cap=cap)
+
+
+def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
+                  feat: jax.Array, *, negative_slope: float = 0.2,
+                  dropout_key=None, dropout: float = 0.0,
+                  training: bool = False) -> jax.Array:
+    """Scatter-free GAT edge-softmax + weighted aggregation.
+
+    The segment-based edge softmax (``kernels/segment.segment_softmax`` +
+    message ``segment_sum``) costs two scatters over ``[E, H]`` and one
+    over ``[E, H, h]`` — the exact op class the ELL layout was built to
+    remove (docs/PERF.md: scatter-add was 40 of 53 ms of SpMM).  Here the
+    softmax over each row's incoming edges is a *row-local* max/exp/sum on
+    the padded ``[n_b, K]`` bucket arrays, and aggregation is the same
+    gather+einsum as :func:`spmm_ell`.
+
+    Args:
+      alpha_dst, alpha_src: ``[n, H]`` per-node attention halves.
+      feat: ``[n, H, h]`` per-head features to aggregate.
+    Returns ``[n, H, h]``.  Padding slots (``val == 0``) are excluded from
+    the softmax; a real edge stored with value exactly 0 is likewise
+    dropped (it contributes nothing to the output in the segment path
+    either).  After the softmax, attention is scaled by ``val`` to match
+    the segment path's ``att * adj.val`` semantics.
+    """
+    H, h = feat.shape[1], feat.shape[2]
+    n_parts = len(ell.buckets) + (1 if ell.heavy_col is not None else 0)
+    if dropout_key is not None:
+        dks = list(jax.random.split(dropout_key, max(n_parts, 1)))
+    else:
+        dks = [None] * max(n_parts, 1)
+
+    def _drop(k, att):
+        if k is None or not training or dropout <= 0.0:
+            return att
+        keep = jax.random.bernoulli(k, 1.0 - dropout, att.shape)
+        return jnp.where(keep, att / (1.0 - dropout), 0.0)
+
+    parts = []
+    for i, b in enumerate(ell.buckets):
+        a_d = jnp.take(alpha_dst, b.rows, axis=0)          # [n_b, H]
+        a_s = jnp.take(alpha_src, b.idx, axis=0)           # [n_b, K, H]
+        s = jax.nn.leaky_relu(a_d[:, None, :] + a_s, negative_slope)
+        mask = (b.val != 0.0)[..., None]                   # [n_b, K, 1]
+        s = jnp.where(mask, s, -1e9)
+        s = s - jax.lax.stop_gradient(jnp.max(s, axis=1, keepdims=True))
+        e = jnp.where(mask, jnp.exp(s), 0.0)
+        att = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
+        att = att * b.val[..., None]
+        att = _drop(dks[i], att)
+        g = jnp.take(feat, b.idx, axis=0)                  # [n_b, K, H, h]
+        parts.append(jnp.einsum("nkh,nkhd->nhd", att.astype(feat.dtype), g))
+    if ell.heavy_col is not None:
+        from graphslim_tpu.kernels.segment import segment_softmax
+        a_d = jnp.take(jnp.take(alpha_dst, ell.heavy_rows, axis=0),
+                       ell.heavy_row, axis=0)              # [E_h, H]
+        a_s = jnp.take(alpha_src, ell.heavy_col, axis=0)
+        s = jax.nn.leaky_relu(a_d + a_s, negative_slope)
+        att = segment_softmax(s, ell.heavy_row, ell.n_heavy,
+                              indices_are_sorted=True)
+        att = att * ell.heavy_val[:, None]
+        att = _drop(dks[-1], att)
+        g = jnp.take(feat, ell.heavy_col, axis=0)          # [E_h, H, h]
+        parts.append(jax.ops.segment_sum(
+            g * att[..., None].astype(feat.dtype), ell.heavy_row,
+            num_segments=ell.n_heavy, indices_are_sorted=True))
+    parts.append(jnp.zeros((1, H, h), dtype=feat.dtype))
+    stacked = jnp.concatenate(parts, axis=0)
+    return jnp.take(stacked, ell.inv_perm, axis=0)

@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from graphslim_tpu import graph as G
+from graphslim_tpu.kernels.ell import EllAdj, attention_ell
 from graphslim_tpu.kernels.segment import segment_softmax
 from graphslim_tpu.models import nn
 from graphslim_tpu.models.base import GNNModel
@@ -34,14 +35,20 @@ class GAT(GNNModel):
             "a2": nn.glorot_uniform(k4, (2, 1, c.nclass)),
         }
 
-    def _attn_layer(self, x, adj: G.SparseAdj, w, a, nheads, training, key,
-                    dropout):
+    def _attn_layer(self, x, adj, w, a, nheads, training, key, dropout):
         n = x.shape[0]
         h = w.shape[1] // nheads
         feat = (x @ w).reshape(n, nheads, h)
         # Edge scores: target (row) gets src (col) messages.
         alpha_dst = jnp.einsum("nhd,hd->nh", feat, a[0])
         alpha_src = jnp.einsum("nhd,hd->nh", feat, a[1])
+        if isinstance(adj, EllAdj):
+            # Scatter-free fast path: row-local softmax on the padded
+            # ELL buckets (docs/PERF.md "edge softmax" measurement).
+            out = attention_ell(adj, alpha_dst, alpha_src, feat,
+                                dropout_key=key, dropout=dropout,
+                                training=training)
+            return out.reshape(n, nheads * h)
         scores = jnp.take(alpha_dst, adj.row, axis=0) + \
             jnp.take(alpha_src, adj.col, axis=0)          # [E, H]
         scores = jax.nn.leaky_relu(scores, 0.2)
@@ -56,11 +63,11 @@ class GAT(GNNModel):
 
     def _forward(self, params, x, adj, *, training, key):
         c = self.cfg
-        if not isinstance(adj, G.SparseAdj):
+        if not isinstance(adj, (G.SparseAdj, EllAdj)):
             # Dense condensed adj: convert via thresholded sparse view.
             raise TypeError(
-                "GAT requires a SparseAdj; threshold the dense synthetic "
-                "adjacency first (data.artifacts.sparsify)")
+                "GAT requires a SparseAdj or EllAdj; threshold the dense "
+                "synthetic adjacency first (data.artifacts.sparsify)")
         dks = self._dropout_keys(key, 4)
         x = nn.dropout(dks[0], x, c.dropout, training)
         x = self._attn_layer(x, adj, params["w1"], params["a1"], c.nheads,

@@ -169,3 +169,34 @@ def test_bce_loss_matches_torch_semantics():
     want = -np.mean(np.asarray(y) * np.log(p) +
                     (1 - np.asarray(y)) * np.log(1 - p))
     assert abs(got - want) < 1e-6
+
+
+def test_gat_ell_matches_segment(synth_dataset):
+    """GAT's scatter-free ELL attention path (kernels/ell.attention_ell)
+    must match the segment-softmax edge-list path bit-for-bit semantics
+    (same softmax over each row's incoming edges, same val scaling)."""
+    ds = synth_dataset
+    model = M.get_model("GAT", _cfg(ds))
+    params = model.init(jax.random.key(0))
+    sp = ds.adj_norm()
+    ell = ds.adj_norm_ell()
+    out_sp = np.asarray(model.apply(params, ds.feat, sp))
+    out_ell = np.asarray(model.apply(params, ds.feat, ell))
+    np.testing.assert_allclose(out_sp, out_ell, rtol=2e-3, atol=2e-4)
+
+
+def test_gat_ell_grads_finite(synth_dataset):
+    ds = synth_dataset
+    model = M.get_model("GAT", _cfg(ds))
+    params = model.init(jax.random.key(1))
+    ell = ds.adj_norm_ell()
+    y = jnp.asarray(np.asarray(ds.labels))
+
+    def loss(p):
+        out = model.apply(p, ds.feat, ell, training=True,
+                          key=jax.random.key(2))
+        return -jnp.mean(jnp.take_along_axis(out, y[:, None], 1))
+
+    g = jax.grad(loss)(params)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
