@@ -30,17 +30,26 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(_REPO, ".jax_cache"))
 
 
+_PEEK = None
+
+
+def _drain(out):
+    """Tiny-slice readback: block_until_ready returns early on the
+    tunneled backend; only a data readback drains the queue, and a
+    64-element jitted slice is milliseconds once the channel is warm."""
+    global _PEEK
+    if _PEEK is None:
+        _PEEK = jax.jit(lambda o: jnp.sum(o.ravel()[:64]))
+    return float(np.asarray(_PEEK(jax.tree_util.tree_leaves(out)[0])))
+
+
 def bench(fn, *args, reps=20):
     out = fn(*args)
-    jax.block_until_ready(out)
-    # forced readback: block_until_ready on the tunneled backend can
-    # return before the remote execution finishes
-    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    _drain(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
-    _ = float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    _drain(out)
     return (time.time() - t0) / reps
 
 
@@ -54,11 +63,7 @@ def main() -> None:
     sp = ds.adj_norm()
     ell = ds.adj_norm_ell()
     n = ds.n_nodes
-    H, h = 8, 32
-    key = jax.random.key(0)
-    feat = jax.random.normal(key, (n, H, h), jnp.float32)
-    a_dst = jax.random.normal(jax.random.key(1), (n, H), jnp.float32)
-    a_src = jax.random.normal(jax.random.key(2), (n, H), jnp.float32)
+    e = sp.nnz
 
     def seg_layer(row, col, val, a_d, a_s, f):
         scores = jnp.take(a_d, row, axis=0) + jnp.take(a_s, col, axis=0)
@@ -70,15 +75,24 @@ def main() -> None:
                                    indices_are_sorted=True)
 
     seg = jax.jit(seg_layer)
-    t = bench(seg, sp.row, sp.col, sp.val, a_dst, a_src, feat, reps=10)
-    e = sp.nnz
-    print(f"segment attention (E={e}, H={H}, h={h}): {t*1e3:7.2f} ms "
-          f"= {e / t / 1e6:6.1f} Medges/s", flush=True)
-
     ell_fn = jax.jit(lambda el, a_d, a_s, f: attention_ell(el, a_d, a_s, f))
-    t = bench(ell_fn, ell, a_dst, a_src, feat, reps=10)
-    print(f"ELL attention     (E={e}, H={H}, h={h}): {t*1e3:7.2f} ms "
-          f"= {e / t / 1e6:6.1f} Medges/s", flush=True)
+
+    for H, h in ((8, 8), (8, 32)):
+        feat = jax.random.normal(jax.random.key(0), (n, H, h), jnp.float32)
+        a_dst = jax.random.normal(jax.random.key(1), (n, H), jnp.float32)
+        a_src = jax.random.normal(jax.random.key(2), (n, H), jnp.float32)
+        for name, fn, args in (
+                ("segment", seg, (sp.row, sp.col, sp.val, a_dst, a_src,
+                                  feat)),
+                ("ELL    ", ell_fn, (ell, a_dst, a_src, feat))):
+            try:
+                t = bench(fn, *args, reps=10)
+                print(f"{name} attention (E={e}, H={H}, h={h}): "
+                      f"{t*1e3:7.2f} ms = {e / t / 1e6:6.1f} Medges/s",
+                      flush=True)
+            except Exception as ex:
+                print(f"{name} attention (H={H}, h={h}): FAILED "
+                      f"{repr(ex)[:160]}", flush=True)
 
     # --- sampler probe: on-device fanout sampler vs host numpy ----------
     from graphslim_tpu.kernels.sample import neighbor_sample_block

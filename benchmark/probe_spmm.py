@@ -32,13 +32,30 @@ N = 169_343
 E = 32_768          # gathered rows per probe call
 
 
+_PEEK = None
+
+
+def _drain(out):
+    """Force the remote execution chain to finish.
+
+    block_until_ready returns early on the tunneled backend (measured
+    2026-08-21: 30 chained 1024^3 matmuls "ready" in 0.9 ms); only a data
+    readback actually drains the queue, and tiny slices are cheap once
+    the d2h channel is warm.
+    """
+    global _PEEK
+    if _PEEK is None:
+        _PEEK = jax.jit(lambda o: jnp.sum(o.ravel()[:64]))
+    return float(np.asarray(_PEEK(out)))
+
+
 def bench(fn, *args, reps=30):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _drain(out)
     return (time.time() - t0) / reps
 
 
@@ -107,6 +124,50 @@ def probe_ell():
           f"{ds.adj.nnz/dtb/1e6:6.1f} Medges/s", flush=True)
 
 
+def probe_blocked():
+    """Cache-blocked chunked-COO Pallas SpMM vs the ELL baseline
+    (kernels/pallas_spmm_blocked.py — the round-2 re-attempt)."""
+    from graphslim_tpu.data import load
+    from graphslim_tpu.kernels.pallas_spmm_blocked import (
+        build_blocked, spmm_blocked)
+
+    ds = load("ogbn-arxiv", seed=0)
+    h = ds.adj_norm_host()
+    x = ds.feat
+    ell = ds.adj_norm_ell()
+    ref = jax.jit(lambda e, xx: e.matmul(xx))(ell, x)
+    t_ell = bench(jax.jit(lambda e, xx: e.matmul(xx)), ell, x, reps=20)
+    nnz = h.col.shape[0]
+    print(f"ELL baseline: {t_ell*1e3:6.2f} ms = {nnz/t_ell/1e6:6.1f} "
+          f"Medges/s", flush=True)
+    for td, ts, chunk, scatter in ((1024, 4096, 2048, "cumsum"),
+                                   (256, 4096, 2048, "onehot"),
+                                   (1024, 8192, 4096, "cumsum")):
+        try:
+            t0 = time.time()
+            bc = build_blocked(h.indptr, h.col, h.val, td=td, ts=ts,
+                               chunk=chunk)
+            slots = bc.dst_local.shape[0] * chunk
+            print(f"build td={td} ts={ts} chunk={chunk}: "
+                  f"{time.time()-t0:5.1f}s, chunks={bc.dst_local.shape[0]}"
+                  f", fill={bc.fill:.3f}, slots={slots/1e6:.1f}M",
+                  flush=True)
+            if slots > 40e6:
+                print("  -> skipped (padding blow-up)", flush=True)
+                continue
+            f = jax.jit(lambda b, xx: spmm_blocked(b, xx, scatter=scatter))
+            out = f(bc, x)
+            ok = float(np.asarray(jax.jit(
+                lambda a, b: jnp.max(jnp.abs(a - b)))(out, ref)))
+            t = bench(f, bc, x, reps=20)
+            print(f"  blocked({scatter}): {t*1e3:6.2f} ms = "
+                  f"{nnz/t/1e6:6.1f} Medges/s  max|diff|={ok:.2e}",
+                  flush=True)
+        except Exception as e:
+            print(f"  blocked td={td} {scatter} FAILED: {repr(e)[:200]}",
+                  flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "xla"):
@@ -115,3 +176,5 @@ if __name__ == "__main__":
         probe_vmem_gather()
     if which in ("all", "ell"):
         probe_ell()
+    if which in ("all", "blocked"):
+        probe_blocked()
