@@ -130,5 +130,85 @@ def main() -> None:
           f"cost counted): {t*1e3:7.2f} ms", flush=True)
 
 
+def probe_agg_variants() -> None:
+    """A/B the bucket aggregation lowering: out = sum_k att*g.
+
+    The einsum('nkh,nkhd->nhd') formulation measured 417.7 ms (h=8) —
+    XLA lowers it as batched dot_generals with tiny contraction dims
+    (MXU padding waste).  Candidate: VPU mul+reduce over the gathered
+    block.  Gather itself is transaction-bound ~20 ms at this scale
+    (docs/PERF.md), so the winner should land near that.
+    """
+    from graphslim_tpu.data import load
+    from graphslim_tpu.kernels.segment import segment_softmax
+
+    ds = load("ogbn-arxiv", seed=0)
+    ell = ds.adj_norm_ell()
+    n = ds.n_nodes
+    H, h = 8, 8
+    feat = jax.random.normal(jax.random.key(0), (n, H, h), jnp.float32)
+    a_dst = jax.random.normal(jax.random.key(1), (n, H), jnp.float32)
+    a_src = jax.random.normal(jax.random.key(2), (n, H), jnp.float32)
+
+    def attn(agg):
+        def run(ell, a_d_all, a_s_all, feat):
+            parts = []
+            for b in ell.buckets:
+                a_d = jnp.take(a_d_all, b.rows, axis=0)
+                a_s = jnp.take(a_s_all, b.idx, axis=0)
+                s = jax.nn.leaky_relu(a_d[:, None, :] + a_s, 0.2)
+                mask = (b.val != 0.0)[..., None]
+                s = jnp.where(mask, s, -1e9)
+                s = s - jax.lax.stop_gradient(
+                    jnp.max(s, axis=1, keepdims=True))
+                e = jnp.where(mask, jnp.exp(s), 0.0)
+                att = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True),
+                                      1e-16)
+                att = att * b.val[..., None]
+                g = jnp.take(feat, b.idx, axis=0)      # [nb, K, H, h]
+                if agg == "einsum":
+                    parts.append(jnp.einsum("nkh,nkhd->nhd", att, g))
+                else:
+                    parts.append(jnp.sum(g * att[..., None], axis=1))
+            if ell.heavy_col is not None:
+                a_d = jnp.take(jnp.take(a_d_all, ell.heavy_rows, axis=0),
+                               ell.heavy_row, axis=0)
+                a_s = jnp.take(a_s_all, ell.heavy_col, axis=0)
+                s = jax.nn.leaky_relu(a_d + a_s, 0.2)
+                att = segment_softmax(s, ell.heavy_row, ell.n_heavy,
+                                      indices_are_sorted=True)
+                att = att * ell.heavy_val[:, None]
+                g = jnp.take(feat, ell.heavy_col, axis=0)
+                parts.append(jax.ops.segment_sum(
+                    g * att[..., None], ell.heavy_row,
+                    num_segments=ell.n_heavy, indices_are_sorted=True))
+            parts.append(jnp.zeros((1, H, h), feat.dtype))
+            return jnp.take(jnp.concatenate(parts, 0), ell.inv_perm,
+                            axis=0)
+        return jax.jit(run)
+
+    ref = None
+    for agg in ("mulsum", "einsum"):
+        f = attn(agg)
+        try:
+            out = f(ell, a_dst, a_src, feat)
+            _drain(out)
+            if ref is None:
+                ref = out
+            else:
+                d = float(np.asarray(jax.jit(
+                    lambda x, y: jnp.max(jnp.abs(x - y)))(out, ref)))
+                print(f"{agg} vs ref max|diff| {d:.2e}", flush=True)
+            t = bench(f, ell, a_dst, a_src, feat, reps=10)
+            print(f"{agg}: {t*1e3:7.1f} ms = "
+                  f"{ds.adj.nnz / t / 1e6:6.1f} Medges/s", flush=True)
+        except Exception as ex:
+            print(f"{agg} FAILED {repr(ex)[:160]}", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in ("all", "attn"):
+        main()
+    if mode in ("agg",):
+        probe_agg_variants()
