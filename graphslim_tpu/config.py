@@ -59,6 +59,7 @@ class Args:
     optim: str = "Adam"
     threshold: float = 0.0
     ntrans: int = 1
+    trans_layers: int = 2                  # SGFormer transformer depth
     with_bn: bool = False
     outer_loop: int = 10
     inner_loop: int = 1

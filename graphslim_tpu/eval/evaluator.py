@@ -48,6 +48,7 @@ class Evaluator:
             nfeat=nfeat, nhid=a.hidden, nclass=self.data.nclass,
             nlayers=a.nlayers, dropout=0.0,   # eval mode: dropout=0
             alpha=a.alpha, ntrans=1,          # eval mode forces ntrans=1
+            trans_layers=getattr(a, "trans_layers", 2),
             activation=a.activation)
         return M.get_model(model_type, cfg)
 
@@ -196,6 +197,12 @@ class Evaluator:
                 "weight_decay": [0.0, 5e-4]},
         "GAT": {"hidden": [64], "lr": [0.01, 0.001],
                 "weight_decay": [0.0, 5e-4]},
+        # Reference special-cases SGFormer with transformer-branch knobs
+        # (eval_agent.py:135-136: trans_num_layers/lr/trans_weight_decay/
+        # trans_dropout); dropout is forced to 0 in our eval mode, so the
+        # depth axis + lr/wd carry the search.
+        "SGFormer": {"trans_layers": [1, 2, 3], "lr": [0.01, 0.001],
+                     "weight_decay": [1e-3, 1e-4]},
     }
 
     def grid_search(self, reduced: G.Reduced, model_type: str,
@@ -231,7 +238,8 @@ class Evaluator:
                     verbose: bool = False) -> dict[str, tuple]:
         """Cross-architecture table (reference ``eval_agent.py:55-157``)."""
         model_types = model_types or ["MLP", "GCN", "SGC", "APPNP",
-                                      "Cheby", "GraphSage", "GAT"]
+                                      "Cheby", "GraphSage", "GAT",
+                                      "SGFormer"]
         out = {}
         for mt in model_types:
             try:

@@ -181,9 +181,15 @@ def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
       feat: ``[n, H, h]`` per-head features to aggregate.
     Returns ``[n, H, h]``.  Padding slots (``val == 0``) are excluded from
     the softmax; a real edge stored with value exactly 0 is likewise
-    dropped (it contributes nothing to the output in the segment path
-    either).  After the softmax, attention is scaled by ``val`` to match
-    the segment path's ``att * adj.val`` semantics.
+    dropped *from the denominator* — in every path of this function
+    (bucket and heavy-row alike), so the formulation is internally
+    consistent.  Note this differs from a plain segment edge-softmax,
+    which would keep a zero-valued edge in the denominator before
+    ``att * val`` zeroes its message; the divergence only matters for
+    explicitly stored zero values, which normalized adjacencies
+    (values strictly > 0) never produce.  After the softmax, attention
+    is scaled by ``val`` to match the segment path's ``att * adj.val``
+    semantics.
     """
     H, h = feat.shape[1], feat.shape[2]
     n_parts = len(ell.buckets) + (1 if ell.heavy_col is not None else 0)
@@ -218,6 +224,9 @@ def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
                        ell.heavy_row, axis=0)              # [E_h, H]
         a_s = jnp.take(alpha_src, ell.heavy_col, axis=0)
         s = jax.nn.leaky_relu(a_d + a_s, negative_slope)
+        # exclude zero-valued edges from the denominator, matching the
+        # bucket path's masking (see docstring)
+        s = jnp.where((ell.heavy_val != 0.0)[:, None], s, -1e9)
         att = segment_softmax(s, ell.heavy_row, ell.n_heavy,
                               indices_are_sorted=True)
         att = att * ell.heavy_val[:, None]

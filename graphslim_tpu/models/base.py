@@ -78,6 +78,7 @@ class ModelConfig:
     with_bn: bool = False
     activation: str = "relu"
     nheads: int = 8             # GAT
+    trans_layers: int = 2       # SGFormer transformer depth
     multi_label: bool = False
 
 

@@ -24,10 +24,16 @@ def _layer_norm(x: jax.Array, p: dict) -> jax.Array:
 
 
 class SGFormer(GNNModel):
-    trans_layers = 2
     gnn_layers = 2
     heads = 1
     graph_weight = 0.8
+
+    @property
+    def trans_layers(self) -> int:
+        """Transformer depth — reference ``trans_num_layers`` grid axis
+        (``eval_agent.py:135-136``), configurable via
+        ``ModelConfig.trans_layers``."""
+        return self.cfg.trans_layers
 
     def init(self, key):
         c = self.cfg

@@ -185,6 +185,24 @@ def test_gat_ell_matches_segment(synth_dataset):
     np.testing.assert_allclose(out_sp, out_ell, rtol=2e-3, atol=2e-4)
 
 
+def test_gat_ell_heavy_path_matches_segment(synth_dataset):
+    """Small cap forces the heavy-row fallback branch of attention_ell
+    (double-gather alpha_dst + segment_softmax tail) plus multiple
+    buckets — the branch CI otherwise never exercises (ADVICE r2)."""
+    from graphslim_tpu.kernels.ell import ell_from_sparse
+
+    ds = synth_dataset
+    model = M.get_model("GAT", _cfg(ds))
+    params = model.init(jax.random.key(0))
+    sp = ds.adj_norm()
+    ell = ell_from_sparse(sp, cap=4)
+    assert ell.heavy_col is not None, "cap=4 must produce heavy rows"
+    assert len(ell.buckets) >= 2, "cap=4 must produce multiple buckets"
+    out_sp = np.asarray(model.apply(params, ds.feat, sp))
+    out_ell = np.asarray(model.apply(params, ds.feat, ell))
+    np.testing.assert_allclose(out_sp, out_ell, rtol=2e-3, atol=2e-4)
+
+
 def test_gat_ell_grads_finite(synth_dataset):
     ds = synth_dataset
     model = M.get_model("GAT", _cfg(ds))
