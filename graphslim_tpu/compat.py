@@ -101,6 +101,122 @@ def from_dgl(g, hetero: bool = False) -> tuple:
             jnp.asarray(labels.astype(np.int32)))
 
 
+class SalvageError(RuntimeError):
+    """Raised when a mangled torch archive cannot be recovered losslessly."""
+
+
+def _salvage_mangled_pt(path: str) -> np.ndarray:
+    """Recover a tensor from a UTF-8-mangled torch zip archive.
+
+    Some checked-in reference artifacts
+    (``/root/reference/interface/reduced_graph/*/label_*.pt`` and the
+    ``*_0.25_*`` adjacencies) were at some point decoded as UTF-8 with
+    ``errors='replace'`` and re-encoded: every valid multi-byte sequence
+    survives (re-encoding each char restores the original bytes) while
+    invalid bytes became U+FFFD and are lost.  int64 label payloads are
+    pure ASCII (values 0..nclass-1 < 0x80) so they survive bit-exact; we
+    re-anchor on the ``data/0`` zip local header and extract the payload,
+    refusing (raising :class:`SalvageError`) if any lost byte falls
+    inside it.  float32 payloads are typically unrecoverable.
+    """
+    import struct
+
+    s = open(path, "rb").read().decode("utf-8")
+    by = bytearray()
+    lost: set[int] = set()
+    for c in s:
+        if c == "�":
+            lost.add(len(by))
+            by.append(0)
+        else:
+            by.extend(c.encode("utf-8"))
+    data = bytes(by)
+
+    # storage dtype from the (mostly-ASCII) pickle
+    if b"LongStorage" in data:
+        dtype, isize = "<i8", 8
+    elif b"IntStorage" in data:
+        dtype, isize = "<i4", 4
+    elif b"FloatStorage" in data:
+        dtype, isize = "<f4", 4
+    elif b"DoubleStorage" in data:
+        dtype, isize = "<f8", 8
+    else:
+        raise SalvageError(f"{path}: no recognizable storage dtype")
+
+    j = data.find(b"data/0")
+    if j < 0:
+        raise SalvageError(f"{path}: no data/0 entry")
+    hdr = data.rfind(b"PK\x03\x04", 0, j)
+    nlen, elen = struct.unpack("<HH", data[hdr + 26:hdr + 30])
+    start = hdr + 30 + nlen + elen
+    # end anchor: local header of the 'version' member that follows the
+    # payload in torch's archive layout (byte-searching the payload
+    # itself for "PK" would misfire on arbitrary binary)
+    v = data.find(b"version", start)
+    if v < 0:
+        raise SalvageError(f"{path}: no trailing version member")
+    end = data.rfind(b"PK\x03\x04", start, v)
+    if end < 0:
+        end = v
+    # drop a trailing data descriptor (PK\x07\x08 + 12 bytes) if present
+    dd = data.rfind(b"PK\x07\x08", start, end)
+    if dd >= 0:
+        end = dd
+    end = start + ((end - start) // isize) * isize
+    if any(start <= u < end for u in lost):
+        raise SalvageError(f"{path}: lost bytes inside tensor payload")
+    return np.frombuffer(data[start:end], dtype=dtype).copy()
+
+
+def load_torch_artifact(path: str) -> np.ndarray:
+    """Load a ``.pt`` tensor artifact as a numpy array.
+
+    Tries ``torch.load`` first; falls back to the UTF-8-mangle salvage
+    path for the corrupted reference archives (see
+    :func:`_salvage_mangled_pt`).
+    """
+    import torch
+
+    try:
+        t = torch.load(path, map_location="cpu", weights_only=False)
+    except Exception:
+        return _salvage_mangled_pt(path)
+    if getattr(t, "is_sparse", False) or getattr(t, "is_sparse_csr", False):
+        t = t.to_dense()
+    return np.asarray(t.detach().cpu().numpy())
+
+
+def load_reference_reduced(root: str, method: str, dataset: str,
+                           rate: float, seed: int = 1) -> "G.Reduced":
+    """Load a reference checked-in reduced graph as a :class:`G.Reduced`.
+
+    Mirrors the reference artifact layout
+    (``interface/vis_graphslim.py:26-117``):
+    ``{root}/{method}/adj_{dataset}_{rate}_{seed}.pt`` + ``label_...``.
+    The reference stores no features for these browser artifacts, so
+    ``feat`` is a one-hot label encoding placeholder unless the caller
+    swaps in real features.
+    """
+    import os
+
+    import jax.numpy as jnp
+
+    adj_p = os.path.join(root, method, f"adj_{dataset}_{rate}_{seed}.pt")
+    lab_p = os.path.join(root, method, f"label_{dataset}_{rate}_{seed}.pt")
+    adj = load_torch_artifact(adj_p).astype(np.float32)
+    n = adj.shape[0]
+    labels = load_torch_artifact(lab_p).astype(np.int64)
+    if labels.shape[0] != n:
+        raise SalvageError(
+            f"label length {labels.shape[0]} != adj rows {n}")
+    nclass = int(labels.max()) + 1
+    feat = np.eye(nclass, dtype=np.float32)[labels]
+    return G.Reduced(feat=jnp.asarray(feat),
+                     adj=jnp.asarray(adj),
+                     labels=jnp.asarray(labels.astype(np.int32)))
+
+
 def from_torch(x, edge_index, y, edge_weight=None,
                name: str = "external") -> tuple:
     """(feat jnp, SparseAdj, labels jnp) from torch tensors."""

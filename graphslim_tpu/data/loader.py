@@ -44,6 +44,11 @@ class DatasetSpec:
     label_noise: float = 0.0
     feature_mix: float = 0.3  # structural smoothing baked into features
     target_acc: float = 0.0   # documentation: calibration target (0=n/a)
+    # Fraction of within-class edges attached to ring-local neighbors
+    # (community structure below class granularity — real graphs have
+    # it, pure SBM blocks are expanders; see synthetic.generate).
+    locality: float = 0.0
+    locality_window: float = 0.005
 
 
 # Scales follow the reference's dataset table (efficiency.md:123-131 and
@@ -71,7 +76,7 @@ _SPECS = [
                 label_noise=0.13),
     DatasetSpec("pubmed", 19717, 500, 3, 4.5, 0.80, "row_norm", "trans",
                 "random", target_acc=0.79, center_scale=0.35,
-                label_noise=0.17),
+                label_noise=0.17, locality=0.97),
     DatasetSpec("photo", 7650, 745, 8, 31.1, 0.83, "row_norm", "trans",
                 "random", target_acc=0.91, center_scale=0.5,
                 label_noise=0.05),
@@ -163,7 +168,9 @@ def _synth_cached(name: str, spec: DatasetSpec):
     cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
                              "graphslim_tpu", "synth")
     knobs = (f"fn{spec.feature_noise:g}_cs{spec.center_scale:g}"
-             f"_ln{spec.label_noise:g}_mx{spec.feature_mix:g}")
+             f"_ln{spec.label_noise:g}_mx{spec.feature_mix:g}"
+             + (f"_lc{spec.locality:g}w{spec.locality_window:g}"
+                if spec.locality else ""))
     path = os.path.join(cache_dir, f"{name}_{knobs}.npz")
     if spec.n_nodes >= 50_000 and os.path.exists(path):
         blob = np.load(path)
@@ -173,7 +180,9 @@ def _synth_cached(name: str, spec: DatasetSpec):
                              feature_noise=spec.feature_noise,
                              center_scale=spec.center_scale,
                              label_noise=spec.label_noise,
-                             feature_mix=spec.feature_mix)
+                             feature_mix=spec.feature_mix,
+                             locality=spec.locality,
+                             locality_window=spec.locality_window)
     if spec.n_nodes >= 50_000:
         try:
             os.makedirs(cache_dir, exist_ok=True)

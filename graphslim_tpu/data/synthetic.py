@@ -20,8 +20,11 @@ def generate(n_nodes: int, n_feat: int, nclass: int, avg_degree: float,
              class_skew: float = 0.3,
              center_scale: float = 2.0,
              label_noise: float = 0.0,
-             feature_mix: float = 0.3) -> tuple[np.ndarray, np.ndarray,
-                                                np.ndarray]:
+             feature_mix: float = 0.3,
+             locality: float = 0.0,
+             locality_window: float = 0.02) -> tuple[np.ndarray,
+                                                     np.ndarray,
+                                                     np.ndarray]:
     """Return ``(edge_index [2,E], feat [n,d] float32, labels [n] int32)``.
 
     * labels: Zipf-skewed class sizes (``class_skew`` controls imbalance,
@@ -66,18 +69,56 @@ def generate(n_nodes: int, n_feat: int, nclass: int, avg_degree: float,
     # --- edges ----------------------------------------------------------
     src = np.repeat(np.arange(n_nodes), deg)
     same = rng.random(src.shape[0]) < homophily
+    # ``locality``: that fraction of within-class edges attach to ring-
+    # nearby nodes of the same class (two-sided geometric rank offsets,
+    # window = locality_window · class size) instead of uniformly over
+    # the class.  Real citation/social graphs have nested community
+    # structure far below class granularity (METIS cuts a few % of
+    # edges); pure SBM blocks are expanders and unpartitionable, which
+    # made every distributed-halo measurement on the twins pessimistic
+    # (round-3 partitioner work).  Homophily is unaffected — local edges
+    # are still within-class.
+    local = (rng.random(src.shape[0]) < locality) \
+        if locality > 0.0 else np.zeros(src.shape[0], dtype=bool)
+    rank_in_class = np.empty(n_nodes, dtype=np.int64)
+    for c in range(nclass):
+        rank_in_class[class_nodes[c]] = np.arange(class_nodes[c].size)
     dst = np.empty_like(src)
     # within-class endpoints, drawn per class in bulk
     for c in range(nclass):
-        sel = same & (labels[src] == c)
+        sel = same & ~local & (labels[src] == c)
         cnt = int(sel.sum())
         if cnt and class_nodes[c].size:
             dst[sel] = rng.choice(class_nodes[c], size=cnt,
                                   p=class_probs[c])
         elif cnt:
             dst[sel] = rng.choice(n_nodes, size=cnt, p=all_probs)
-    n_rand = int((~same).sum())
-    dst[~same] = rng.choice(n_nodes, size=n_rand, p=all_probs)
+        sel_l = local & (labels[src] == c)
+        cnt_l = int(sel_l.sum())
+        if cnt_l and class_nodes[c].size > 1:
+            size_c = class_nodes[c].size
+            w = max(locality_window * size_c, 1.0)
+            off = np.round(rng.laplace(0.0, w, size=cnt_l)).astype(
+                np.int64)
+            off[off == 0] = 1
+            r = (rank_in_class[src[sel_l]] + off) % size_c
+            dst[sel_l] = class_nodes[c][r]
+        elif cnt_l:
+            dst[sel_l] = rng.choice(n_nodes, size=cnt_l, p=all_probs)
+    # cross-class endpoints: ring-local for the ``local`` fraction (real
+    # graphs' cross-class edges live inside the same communities — they
+    # are not global noise), uniform degree-proportional otherwise
+    sel_x = ~same & local
+    cnt_x = int(sel_x.sum())
+    if cnt_x:
+        w = max(locality_window * n_nodes, 1.0)
+        off = np.round(rng.laplace(0.0, w, size=cnt_x)).astype(np.int64)
+        off[off == 0] = 1
+        dst[sel_x] = (src[sel_x] + off) % n_nodes
+    sel_u = ~same & ~local
+    n_rand = int(sel_u.sum())
+    if n_rand:
+        dst[sel_u] = rng.choice(n_nodes, size=n_rand, p=all_probs)
     keep = src != dst
     edge_index = np.stack([src[keep], dst[keep]])
 

@@ -73,6 +73,48 @@ def partition_rows(adj: G.SparseAdj, n_shards: int) -> RowPartition:
                         rows_per, n)
 
 
+def edge_cut_order(adj: G.SparseAdj, n_shards: int, slack: float = 0.02,
+                   passes: int = 10) -> np.ndarray:
+    """Node permutation grouping a balanced min-edge-cut partition.
+
+    Multilevel heavy-edge-matching partitioner (``native.partition_graph``
+    — C++, the house style for host graph algorithms); falls back to
+    reverse-Cuthill–McKee bandwidth reduction without the native
+    library.  Apply the returned order to the graph (and features), then
+    contiguous row partitions align with the partition parts — halo
+    volume drops from O(n) (random/RCM order, VERDICT r2: 303 % of n on
+    the pubmed twin) to the partition boundary (measured 45 % of n at 8
+    shards, docs/PERF.md round 3).
+    """
+    from graphslim_tpu import native
+
+    indptr = np.asarray(adj.indptr)
+    col = np.asarray(adj.col)
+    res = native.partition_graph(indptr, col, n_shards, slack=slack,
+                                 passes=passes)
+    if res is not None:
+        part, _ = res
+        return np.argsort(part, kind="stable")
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    n = adj.n_rows
+    csr = sp.csr_matrix(
+        (np.ones_like(col, dtype=np.float32),
+         (np.repeat(np.arange(n), np.diff(indptr)), col)), shape=(n, n))
+    return np.asarray(reverse_cuthill_mckee(csr, symmetric_mode=True))
+
+
+def reorder_adj(adj: G.SparseAdj, order: np.ndarray) -> G.SparseAdj:
+    """Relabel nodes of ``adj`` so ``order[i]`` becomes node ``i``."""
+    n = adj.n_rows
+    inv = np.empty(n, dtype=np.int64)
+    inv[order] = np.arange(n)
+    return G.from_edge_index(
+        np.stack([inv[np.asarray(adj.row)], inv[np.asarray(adj.col)]]),
+        n, edge_weight=np.asarray(adj.values_or_ones()), dedup=False)
+
+
 class HaloPartition(NamedTuple):
     """Row partition plus halo-exchange routing tables.
 
@@ -157,6 +199,190 @@ def shard_spmm_halo(mesh: Mesh, hp: HaloPartition, x: jax.Array,
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, x.shape[-1]), x.dtype)])
     out = fn(part.row_local, hp.col_halo, part.val, hp.send_idx, x)
+    return out.reshape(-1, x.shape[-1])[: part.n_rows]
+
+
+class RaggedHaloPartition(NamedTuple):
+    """Halo routing with per-pair exact sizes (no global pair-max pad).
+
+    The padded layout (:class:`HaloPartition`) pads every (src, dst)
+    pair to the global max halo ``H`` — one dense pair inflates the
+    ``[S, S, H]`` buffer everywhere (VERDICT r2 weak #2, skew-fragile).
+    Here each sender packs its per-destination boundary rows back to
+    back, and the receive buffer is **round-major**: the chunk arriving
+    from ``src`` lands at the static offset of round ``r = (dst - src)
+    mod S``, each round padded only to that round's max size.  The same
+    tables drive two exchanges:
+
+    * ``jax.lax.ragged_all_to_all`` (TPU) — moves exactly
+      ``sizes[s, d]`` rows per pair;
+    * ``S - 1`` ``ppermute`` rounds (portable; XLA:CPU has no
+      ragged-all-to-all) — moves ``round_max[r]`` rows per round.
+
+    Buffer padding is Σ_r max_s sizes[s, (s+r) % S] — per-round max,
+    not global pair max, so one dense pair only inflates its own round.
+    """
+
+    base: RowPartition
+    send_flat: jax.Array     # [S, L_max] int32 owner-local rows, packed
+    in_offsets: jax.Array    # [S, S] int32: sender-local chunk starts
+    send_sizes: jax.Array    # [S, S] int32 (sender-major [src, dst])
+    out_offsets: jax.Array   # [S, S] int32: round-major remote offsets
+    recv_sizes: jax.Array    # [S, S] int32 (receiver-major [dst, src])
+    col_halo: jax.Array      # [S, E_max] int32 into [recv | local] buffer
+    send_max: int            # L_max
+    recv_len: int            # Σ_r round_max[r] (receive buffer rows)
+    round_max: tuple         # static per-round chunk sizes, len S-1
+
+
+def partition_rows_halo_ragged(adj: G.SparseAdj,
+                               n_shards: int) -> RaggedHaloPartition:
+    """Host-side ragged halo routing tables."""
+    base = partition_rows(adj, n_shards)
+    D, rows_per = n_shards, base.rows_per_shard
+    col = np.asarray(base.col)
+    # uniq[d][s]: owner-local rows of shard s referenced by shard d
+    uniq: list[list[np.ndarray]] = []
+    for d in range(D):
+        owners = col[d] // rows_per
+        local_pos = col[d] % rows_per
+        uniq.append([
+            (np.zeros(0, np.int64) if s == d
+             else np.unique(local_pos[owners == s]))
+            for s in range(D)])
+    sizes = np.array([[len(uniq[d][s]) for d in range(D)]
+                      for s in range(D)], dtype=np.int32)  # [src, dst]
+    L_max = max(int(sizes.sum(axis=1).max()), 1)
+    # round-major receive layout: chunk from src s at receiver d sits in
+    # round r = (d - s) mod D at static offset base[r]
+    round_max = tuple(
+        max(int(max(sizes[s, (s + r) % D] for s in range(D))), 1)
+        for r in range(1, D))
+    base_off = np.zeros(D, dtype=np.int32)       # base_off[r], r=1..D-1
+    acc = 0
+    for r in range(1, D):
+        base_off[r] = acc
+        acc += round_max[r - 1]
+    R_len = max(acc, 1)
+    send_flat = np.zeros((D, L_max), dtype=np.int32)
+    in_off = np.zeros((D, D), dtype=np.int32)
+    out_off = np.zeros((D, D), dtype=np.int32)
+    for s in range(D):
+        pos = 0
+        for d in range(D):
+            c = int(sizes[s, d])
+            in_off[s, d] = pos
+            out_off[s, d] = base_off[(d - s) % D]
+            if c:
+                send_flat[s, pos:pos + c] = uniq[d][s]
+            pos += c
+    col_halo = np.zeros_like(col, dtype=np.int32)
+    for d in range(D):
+        owners = col[d] // rows_per
+        local_pos = col[d] % rows_per
+        remap = np.zeros(col.shape[1], dtype=np.int32)
+        for s in range(D):
+            m = owners == s
+            if s == d:
+                remap[m] = R_len + local_pos[m]
+                continue
+            remap[m] = base_off[(d - s) % D] + np.searchsorted(
+                uniq[d][s], local_pos[m])
+        col_halo[d] = remap
+    return RaggedHaloPartition(
+        base, jnp.asarray(send_flat), jnp.asarray(in_off),
+        jnp.asarray(sizes), jnp.asarray(out_off),
+        jnp.asarray(np.ascontiguousarray(sizes.T)),
+        jnp.asarray(col_halo), L_max, int(R_len), round_max)
+
+
+_RAGGED_A2A_OK: dict = {}
+
+
+def _ragged_a2a_supported(mesh: Mesh, axis: str) -> bool:
+    """One compile probe per backend: XLA:CPU lacks ragged-all-to-all."""
+    key = (mesh.devices.ravel()[0].platform, int(mesh.devices.size))
+    if key not in _RAGGED_A2A_OK:
+        # The probe must actually EXECUTE to report support.  Under an
+        # outer jit trace it would be staged into the outer program
+        # instead (never raising here, then failing the outer compile) —
+        # in that case conservatively use the portable ppermute path for
+        # this call and leave the cache unset.
+        from jax._src import core as _core
+        if not _core.trace_state_clean():
+            return False
+        D = mesh.devices.size
+        try:
+            z = jnp.zeros((D, 1, 1), jnp.float32)
+            o = jnp.zeros((D, 1), jnp.int32)
+            s = jnp.zeros((D, 1), jnp.int32)
+
+            def probe(zz, oo, ss):
+                return jax.lax.ragged_all_to_all(
+                    zz[0], jnp.zeros((1, 1), jnp.float32), oo[0],
+                    ss[0], oo[0], ss[0], axis_name=axis)[None]
+
+            jax.block_until_ready(shard_map(
+                probe, mesh=mesh, in_specs=(P(axis),) * 3,
+                out_specs=P(axis))(z, o, s))
+            _RAGGED_A2A_OK[key] = True
+        except Exception:
+            _RAGGED_A2A_OK[key] = False
+    return _RAGGED_A2A_OK[key]
+
+
+def shard_spmm_halo_ragged(mesh: Mesh, hp: RaggedHaloPartition,
+                           x: jax.Array, axis: str = "data",
+                           use_ragged: bool | None = None) -> jax.Array:
+    """Distributed A @ x, boundary rows moved with per-pair exact
+    (ragged-all-to-all) or per-round-max (ppermute rounds) sizes."""
+    part = hp.base
+    rows_per = part.rows_per_shard
+    D = part.row_local.shape[0]
+    R_len = hp.recv_len
+    round_max = hp.round_max
+    if use_ragged is None:
+        use_ragged = _ragged_a2a_supported(mesh, axis)
+
+    def local(row_l, col_h, val, sflat, ioff, ssz, ooff, rsz, xs):
+        row_l, col_h, val = row_l[0], col_h[0], val[0]
+        send = jnp.take(xs, sflat[0], axis=0)           # [L_max, d]
+        dfeat = xs.shape[-1]
+        if use_ragged:
+            out_buf = jnp.zeros((R_len, dfeat), xs.dtype)
+            recv = jax.lax.ragged_all_to_all(
+                send, out_buf, ioff[0], ssz[0], ooff[0], rsz[0],
+                axis_name=axis)
+        else:
+            me = jax.lax.axis_index(axis)
+            pad_rows = max(round_max) if round_max else 1
+            send_ext = jnp.concatenate(
+                [send, jnp.zeros((pad_rows, dfeat), xs.dtype)])
+            parts = []
+            for r in range(1, D):
+                dst = (me + r) % D
+                start = jnp.take(ioff[0], dst)
+                chunk = jax.lax.dynamic_slice(
+                    send_ext, (start, 0), (round_max[r - 1], dfeat))
+                perm = [(j, (j + r) % D) for j in range(D)]
+                parts.append(jax.lax.ppermute(chunk, axis, perm))
+            recv = (jnp.concatenate(parts) if parts
+                    else jnp.zeros((R_len, dfeat), xs.dtype))
+        flat = jnp.concatenate([recv, xs])
+        gathered = jnp.take(flat, col_h, axis=0) * val[:, None]
+        return jax.ops.segment_sum(gathered, row_l,
+                                   num_segments=rows_per)[None]
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 8 + (P(axis),),
+        out_specs=P(axis))
+    pad = D * rows_per - x.shape[0]
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[-1]), x.dtype)])
+    out = fn(part.row_local, hp.col_halo, part.val, hp.send_flat,
+             hp.in_offsets, hp.send_sizes, hp.out_offsets, hp.recv_sizes,
+             x)
     return out.reshape(-1, x.shape[-1])[: part.n_rows]
 
 

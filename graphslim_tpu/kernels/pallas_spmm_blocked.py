@@ -25,7 +25,7 @@ reported by :func:`build_blocked`.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +34,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-class BlockedCOO(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BlockedCOO:
     """Chunked (dst_tile, src_tile)-blocked COO layout.
 
     ``bounds[c, r]`` is the first edge slot of chunk ``c`` whose
@@ -42,20 +44,29 @@ class BlockedCOO(NamedTuple):
     construction), enabling the cumsum/boundary-difference scatter that
     stays cheap at large ``td`` (the one-hot matmul scatter costs
     ``td·d`` FLOPs per edge and dies above td≈512).
+
+    Registered as a pytree with the layout constants as *static*
+    metadata so the whole container can be a ``jit`` argument (a
+    NamedTuple would trace ``td/ts/chunk`` and break the BlockSpec
+    construction — caught on-chip, round 3).
     """
 
-    dst_local: jax.Array   # [C, CHUNK] int32, row within dst tile
-    src_local: jax.Array   # [C, CHUNK] int32, row within src tile
-    val: jax.Array         # [C, CHUNK] float32 (0 = padding)
-    bounds: jax.Array      # [C, TD + 1] int32 (see above)
+    # Edge-slot arrays are stored as [C, CHUNK/128, 128] tiles (and
+    # bounds as [C, B/128, 128] with B = td+1 rounded up): Mosaic
+    # requires the last two block dims to respect the (8, 128) int32/f32
+    # tile, which a [1, CHUNK] 2-D block violates (sublane dim 1).
+    dst_local: jax.Array   # [C, CHUNK/128, 128] int32, row within dst tile
+    src_local: jax.Array   # [C, CHUNK/128, 128] int32, row within src tile
+    val: jax.Array         # [C, CHUNK/128, 128] float32 (0 = padding)
+    bounds: jax.Array      # [C, B/128, 128] int32 (see above)
     dst_tile: jax.Array    # [C] int32, per-chunk dst tile id
     src_tile: jax.Array    # [C] int32, per-chunk src tile id
     first_of_dst: jax.Array  # [C] int32 (1 = first chunk of its dst tile)
-    n_rows: int
-    td: int
-    ts: int
-    chunk: int
-    fill: float            # nnz / (C * CHUNK) — padding efficiency
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
+    td: int = dataclasses.field(metadata=dict(static=True))
+    ts: int = dataclasses.field(metadata=dict(static=True))
+    chunk: int = dataclasses.field(metadata=dict(static=True))
+    fill: float = dataclasses.field(metadata=dict(static=True))
 
 
 def build_blocked(indptr: np.ndarray, col: np.ndarray,
@@ -107,11 +118,14 @@ def build_blocked(indptr: np.ndarray, col: np.ndarray,
     dt_arr = np.asarray(c_dt, np.int32)
     first = np.ones(C, np.int32)
     first[1:] = (dt_arr[1:] != dt_arr[:-1]).astype(np.int32)
+    bnd_pad = -(-(td + 1) // 128) * 128
+    bnd_arr = np.zeros((C, bnd_pad), np.int32)
+    bnd_arr[:, : td + 1] = np.stack(c_bnd)
     return BlockedCOO(
-        dst_local=jnp.asarray(np.stack(c_dst)),
-        src_local=jnp.asarray(np.stack(c_src)),
-        val=jnp.asarray(np.stack(c_val)),
-        bounds=jnp.asarray(np.stack(c_bnd)),
+        dst_local=jnp.asarray(np.stack(c_dst).reshape(C, -1, 128)),
+        src_local=jnp.asarray(np.stack(c_src).reshape(C, -1, 128)),
+        val=jnp.asarray(np.stack(c_val).reshape(C, -1, 128)),
+        bounds=jnp.asarray(bnd_arr.reshape(C, -1, 128)),
         dst_tile=jnp.asarray(dt_arr),
         src_tile=jnp.asarray(np.asarray(c_st, np.int32)),
         first_of_dst=jnp.asarray(first),
@@ -132,6 +146,10 @@ def spmm_blocked(bc: BlockedCOO, x: jax.Array, interpret: bool = False,
     """
     td, ts, chunk = bc.td, bc.ts, bc.chunk
     d = x.shape[-1]
+    if not interpret and scatter == "cumsum" and not (td == ts == chunk):
+        raise ValueError(
+            "compiled cumsum path requires td == ts == chunk (Mosaic "
+            f"same-shape dynamic_gather), got {td}/{ts}/{chunk}")
     n_dst_tiles = -(-bc.n_rows // td)
     n_src_tiles = -(-x.shape[0] // ts)
     xp = x
@@ -140,17 +158,19 @@ def spmm_blocked(bc: BlockedCOO, x: jax.Array, interpret: bool = False,
             [x, jnp.zeros((n_src_tiles * ts - x.shape[0], d), x.dtype)])
     C = bc.dst_local.shape[0]
 
+    sub = chunk // 128
+    bsub = bc.bounds.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,      # dst_tile, src_tile, first_of_dst
         grid=(C,),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda c, dt, st, fi: (c, 0),
+            pl.BlockSpec((1, sub, 128), lambda c, dt, st, fi: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda c, dt, st, fi: (c, 0),
+            pl.BlockSpec((1, sub, 128), lambda c, dt, st, fi: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda c, dt, st, fi: (c, 0),
+            pl.BlockSpec((1, sub, 128), lambda c, dt, st, fi: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, td + 1), lambda c, dt, st, fi: (c, 0),
+            pl.BlockSpec((1, bsub, 128), lambda c, dt, st, fi: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ts, d), lambda c, dt, st, fi: (st[c], 0),
                          memory_space=pltpu.VMEM),
@@ -163,13 +183,19 @@ def spmm_blocked(bc: BlockedCOO, x: jax.Array, interpret: bool = False,
              bnd_ref, x_ref, out_ref):
         c = pl.program_id(0)
         first = fi_ref[c]
-        dst, src, val = dst_ref[0], src_ref[0], val_ref[0]
+        dst = dst_ref[0].reshape(chunk)
+        src = src_ref[0].reshape(chunk)
+        val = val_ref[0].reshape(chunk)
 
         @pl.when(first == 1)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        gathered = jnp.take(x_ref[:], src, axis=0)      # [chunk, d]
+        # Mosaic lowers only same-shape take_along_axis row gathers
+        # (tpu.dynamic_gather, lowering.py:2484-2524) — hence the
+        # td == ts == chunk layout constraint for the compiled path.
+        gathered = jnp.take_along_axis(
+            x_ref[:], jnp.broadcast_to(src[:, None], (chunk, d)), axis=0)
         weighted = gathered * val[:, None]
         if scatter == "onehot":
             onehot = (jax.lax.broadcasted_iota(jnp.int32, (td, chunk), 0)
@@ -179,17 +205,19 @@ def spmm_blocked(bc: BlockedCOO, x: jax.Array, interpret: bool = False,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
-            bnd = bnd_ref[0]                            # [td + 1]
+            bnd = bnd_ref[0].reshape(-1)[: td + 1]      # [td + 1]
             cs = jnp.cumsum(weighted.astype(jnp.float32), axis=0)
             # row r sum = cs[bnd[r+1]-1] - cs[bnd[r]-1]  (cs[-1] := 0)
             hi_idx = bnd[1:] - 1
             lo_idx = bnd[:-1] - 1
+            hi_b = jnp.broadcast_to(jnp.maximum(hi_idx, 0)[:, None],
+                                    (td, d))
+            lo_b = jnp.broadcast_to(jnp.maximum(lo_idx, 0)[:, None],
+                                    (td, d))
             hi = jnp.where((hi_idx >= 0)[:, None],
-                           jnp.take(cs, jnp.maximum(hi_idx, 0), axis=0),
-                           0.0)
+                           jnp.take_along_axis(cs, hi_b, axis=0), 0.0)
             lo = jnp.where((lo_idx >= 0)[:, None],
-                           jnp.take(cs, jnp.maximum(lo_idx, 0), axis=0),
-                           0.0)
+                           jnp.take_along_axis(cs, lo_b, axis=0), 0.0)
             out_ref[:] += hi - lo
 
     out = pl.pallas_call(

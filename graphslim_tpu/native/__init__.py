@@ -56,6 +56,10 @@ def load() -> ctypes.CDLL | None:
     lib.max_weight_matching.restype = ctypes.c_int64
     lib.max_weight_matching.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
                                         ctypes.c_int64, i64p]
+    lib.partition_graph.restype = ctypes.c_int64
+    lib.partition_graph.argtypes = [i64p, i64p, ctypes.c_int64,
+                                    ctypes.c_int64, ctypes.c_double,
+                                    ctypes.c_int64, i64p]
     _LIB = lib
     return lib
 
@@ -136,6 +140,26 @@ def csr_sort_dedup(rows: np.ndarray, cols: np.ndarray,
     nnz = lib.csr_sort_dedup(_i64(rows), _i64(cols), _f64(vals),
                              rows.shape[0])
     return rows[:nnz], cols[:nnz], vals[:nnz]
+
+
+def partition_graph(indptr: np.ndarray, col: np.ndarray, k: int,
+                    slack: float = 0.06, passes: int = 8
+                    ) -> tuple[np.ndarray, int] | None:
+    """Balanced k-way min-edge-cut partition (BFS growth + FM-lite).
+
+    Returns (part ids [n] int64, directed cut count), or None without
+    the native library (callers fall back to RCM-contiguous).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    col = np.ascontiguousarray(col, dtype=np.int64)
+    n = indptr.shape[0] - 1
+    part = np.empty(n, dtype=np.int64)
+    cut = lib.partition_graph(_i64(indptr), _i64(col), n, int(k),
+                              float(slack), int(passes), _i64(part))
+    return part, int(cut)
 
 
 def connected_components(src: np.ndarray, dst: np.ndarray,

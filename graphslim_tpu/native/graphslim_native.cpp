@@ -480,4 +480,279 @@ int64_t connected_components(const int64_t* src, const int64_t* dst,
   return next;
 }
 
+// ---------------------------------------------------------------------------
+// Balanced k-way min-edge-cut partition (distributed halo layout,
+// dist/spmm.py).  Multilevel scheme: heavy-edge-matching coarsening,
+// BFS region growing on the coarsest graph, Fiduccia–Mattheyses-style
+// weighted boundary refinement at every uncoarsening level.  New design
+// — the reference is single-device and has no partitioner (SURVEY §2.10).
+// ---------------------------------------------------------------------------
+
+struct WGraph {
+  std::vector<int64_t> indptr, col, ew, vw;  // symmetric weighted CSR
+  int64_t n() const { return static_cast<int64_t>(vw.size()); }
+};
+
+static uint64_t pg_rng(uint64_t* s) {  // xorshift64*
+  uint64_t x = *s;
+  x ^= x >> 12; x ^= x << 25; x ^= x >> 27;
+  *s = x;
+  return x * 0x2545F4914F6CDD1DULL;
+}
+
+// Weighted FM-lite: positive-gain (or balance-pressure neutral) single
+// moves, vertex-weighted balance cap.
+static void pg_refine(const WGraph& g, int64_t k, double slack,
+                      int64_t passes, std::vector<int64_t>* part_io,
+                      std::vector<int64_t>* size_io) {
+  std::vector<int64_t>& part = *part_io;
+  std::vector<int64_t>& size = *size_io;
+  int64_t tot_vw = 0;
+  for (int64_t w : g.vw) tot_vw += w;
+  const int64_t cap = static_cast<int64_t>(
+      (static_cast<double>(tot_vw) / k) * (1.0 + slack)) + 1;
+  const int64_t floor_sz = static_cast<int64_t>(
+      (static_cast<double>(tot_vw) / k) * (1.0 - slack));
+  std::vector<int64_t> cnt(k, 0);
+  for (int64_t pass = 0; pass < passes; ++pass) {
+    int64_t moves = 0;
+    for (int64_t u = 0; u < g.n(); ++u) {
+      const int64_t pu = part[u];
+      bool boundary = false;
+      for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e) {
+        const int64_t pv = part[g.col[e]];
+        cnt[pv] += g.ew[e];
+        boundary |= (pv != pu);
+      }
+      if (boundary) {
+        int64_t best = pu, best_gain = 0;
+        for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e) {
+          const int64_t pv = part[g.col[e]];
+          if (pv == pu || size[pv] + g.vw[u] > cap) continue;
+          const int64_t gain = cnt[pv] - cnt[pu];
+          if (gain > best_gain ||
+              (gain == best_gain && best != pu && size[pv] < size[best]) ||
+              (gain == 0 && best == pu && size[pu] - g.vw[u] >= floor_sz &&
+               size[pv] + g.vw[u] < size[pu])) {
+            best = pv;
+            best_gain = gain;
+          }
+        }
+        if (best != pu && size[pu] - g.vw[u] >= floor_sz) {
+          part[u] = best;
+          size[pu] -= g.vw[u];
+          size[best] += g.vw[u];
+          ++moves;
+        }
+      }
+      for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e)
+        cnt[part[g.col[e]]] = 0;
+      cnt[pu] = 0;
+      cnt[part[u]] = 0;
+    }
+    if (moves == 0) break;
+  }
+}
+
+// Balanced BFS region growing from multi-source farthest-point seeds.
+static void pg_grow(const WGraph& g, int64_t k, std::vector<int64_t>* part_o,
+                    std::vector<int64_t>* size_o) {
+  const int64_t n = g.n();
+  std::vector<int64_t>& part = *part_o;
+  std::vector<int64_t>& size = *size_o;
+  part.assign(n, -1);
+  size.assign(k, 0);
+  std::vector<int64_t> dist(n, -1), seeds;
+  std::deque<int64_t> q;
+  int64_t s0 = 0;
+  q.push_back(0);
+  dist[0] = 0;
+  while (!q.empty()) {
+    int64_t u = q.front();
+    q.pop_front();
+    s0 = u;
+    for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e)
+      if (dist[g.col[e]] < 0) {
+        dist[g.col[e]] = dist[u] + 1;
+        q.push_back(g.col[e]);
+      }
+  }
+  seeds.push_back(s0);
+  while (static_cast<int64_t>(seeds.size()) < k) {
+    std::fill(dist.begin(), dist.end(), -1);
+    q.clear();
+    for (int64_t s : seeds) { dist[s] = 0; q.push_back(s); }
+    int64_t far = seeds.back();
+    while (!q.empty()) {
+      int64_t u = q.front();
+      q.pop_front();
+      far = u;
+      for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e)
+        if (dist[g.col[e]] < 0) {
+          dist[g.col[e]] = dist[u] + 1;
+          q.push_back(g.col[e]);
+        }
+    }
+    bool dup = false;
+    for (int64_t s : seeds) dup |= (s == far);
+    if (dup)
+      for (int64_t i = 0; i < n && dup; ++i) {
+        bool used = false;
+        for (int64_t s : seeds) used |= (s == i);
+        if (!used) { far = i; dup = false; }
+      }
+    seeds.push_back(far);
+  }
+  std::vector<std::deque<int64_t>> front(k);
+  for (int64_t p = 0; p < k; ++p) {
+    if (part[seeds[p]] < 0) {
+      part[seeds[p]] = p;
+      size[p] += g.vw[seeds[p]];
+    }
+    front[p].push_back(seeds[p]);
+  }
+  int64_t assigned = 0;
+  for (int64_t i = 0; i < n; ++i) assigned += (part[i] >= 0);
+  int64_t scan = 0;
+  while (assigned < n) {
+    int64_t p = 0;
+    for (int64_t j = 1; j < k; ++j)
+      if (size[j] < size[p]) p = j;
+    int64_t picked = -1;
+    while (!front[p].empty() && picked < 0) {
+      int64_t u = front[p].front();
+      // claim the unassigned neighbor with the heaviest connecting edge
+      int64_t got = -1, got_w = -1;
+      for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e) {
+        int64_t v = g.col[e];
+        if (part[v] < 0 && g.ew[e] > got_w) { got = v; got_w = g.ew[e]; }
+      }
+      if (got < 0) {
+        front[p].pop_front();
+        continue;
+      }
+      picked = got;
+    }
+    if (picked < 0) {
+      while (scan < n && part[scan] >= 0) ++scan;
+      if (scan >= n) break;
+      picked = scan;
+    }
+    part[picked] = p;
+    size[p] += g.vw[picked];
+    ++assigned;
+    front[p].push_back(picked);
+  }
+  for (int64_t i = 0; i < n; ++i)
+    if (part[i] < 0) {
+      int64_t p = 0;
+      for (int64_t j = 1; j < k; ++j)
+        if (size[j] < size[p]) p = j;
+      part[i] = p;
+      size[p] += g.vw[i];
+    }
+}
+
+// Heavy-edge matching contraction; writes fine→coarse map into *cmap.
+static WGraph pg_coarsen(const WGraph& g, std::vector<int64_t>* cmap,
+                         uint64_t* rng) {
+  const int64_t n = g.n();
+  std::vector<int64_t> order(n), match(n, -1);
+  for (int64_t i = 0; i < n; ++i) order[i] = i;
+  for (int64_t i = n - 1; i > 0; --i)
+    std::swap(order[i], order[pg_rng(rng) % (i + 1)]);
+  int64_t nc = 0;
+  cmap->assign(n, -1);
+  for (int64_t oi = 0; oi < n; ++oi) {
+    const int64_t u = order[oi];
+    if (match[u] >= 0) continue;
+    int64_t best = -1, best_w = -1;
+    for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e) {
+      const int64_t v = g.col[e];
+      if (v != u && match[v] < 0 && g.ew[e] > best_w) {
+        best = v;
+        best_w = g.ew[e];
+      }
+    }
+    match[u] = (best >= 0) ? best : u;
+    if (best >= 0) match[best] = u;
+    (*cmap)[u] = nc;
+    if (best >= 0) (*cmap)[best] = nc;
+    ++nc;
+  }
+  // build coarse CSR by sorting (cu, cv, w) triples
+  std::vector<std::pair<int64_t, int64_t>> key;  // (cu*nc+cv) packed
+  std::vector<int64_t> wq;
+  key.reserve(g.col.size());
+  for (int64_t u = 0; u < n; ++u) {
+    const int64_t cu = (*cmap)[u];
+    for (int64_t e = g.indptr[u]; e < g.indptr[u + 1]; ++e) {
+      const int64_t cv = (*cmap)[g.col[e]];
+      if (cu == cv) continue;  // contracted edge disappears
+      key.push_back({cu * nc + cv, g.ew[e]});
+    }
+  }
+  std::sort(key.begin(), key.end());
+  WGraph c;
+  c.vw.assign(nc, 0);
+  for (int64_t u = 0; u < n; ++u) c.vw[(*cmap)[u]] += g.vw[u];
+  c.indptr.assign(nc + 1, 0);
+  for (size_t i = 0; i < key.size(); ++i) {
+    if (i == 0 || key[i].first != key[i - 1].first) {
+      c.col.push_back(key[i].first % nc);
+      c.ew.push_back(key[i].second);
+      ++c.indptr[key[i].first / nc + 1];
+    } else {
+      c.ew.back() += key[i].second;
+    }
+  }
+  for (int64_t i = 0; i < nc; ++i) c.indptr[i + 1] += c.indptr[i];
+  return c;
+}
+
+int64_t partition_graph(const int64_t* indptr, const int64_t* col,
+                        int64_t n, int64_t k, double slack,
+                        int64_t passes, int64_t* out_part) {
+  if (k <= 1 || n == 0) {
+    for (int64_t i = 0; i < n; ++i) out_part[i] = 0;
+    return 0;
+  }
+  // level 0 = input graph, unit weights
+  std::vector<WGraph> levels(1);
+  levels[0].indptr.assign(indptr, indptr + n + 1);
+  levels[0].col.assign(col, col + indptr[n]);
+  levels[0].ew.assign(indptr[n], 1);
+  levels[0].vw.assign(n, 1);
+  std::vector<std::vector<int64_t>> cmaps;
+  uint64_t rng = 0x9E3779B97F4A7C15ULL;
+  const int64_t coarse_target = std::max<int64_t>(64 * k, 256);
+  while (levels.back().n() > coarse_target) {
+    std::vector<int64_t> cmap;
+    WGraph c = pg_coarsen(levels.back(), &cmap, &rng);
+    if (c.n() > levels.back().n() * 95 / 100) break;  // stalled
+    cmaps.push_back(std::move(cmap));
+    levels.push_back(std::move(c));
+  }
+  // initial partition on the coarsest level
+  std::vector<int64_t> part, size;
+  pg_grow(levels.back(), k, &part, &size);
+  pg_refine(levels.back(), k, slack, passes, &part, &size);
+  // uncoarsen with refinement at every level
+  for (int64_t lv = static_cast<int64_t>(cmaps.size()) - 1; lv >= 0; --lv) {
+    const std::vector<int64_t>& cmap = cmaps[lv];
+    std::vector<int64_t> fine(cmap.size());
+    for (size_t u = 0; u < cmap.size(); ++u) fine[u] = part[cmap[u]];
+    part = std::move(fine);
+    size.assign(k, 0);
+    for (int64_t u = 0; u < levels[lv].n(); ++u)
+      size[part[u]] += levels[lv].vw[u];
+    pg_refine(levels[lv], k, slack, lv == 0 ? passes : 2, &part, &size);
+  }
+  int64_t cut = 0;
+  for (int64_t u = 0; u < n; ++u)
+    for (int64_t e = indptr[u]; e < indptr[u + 1]; ++e)
+      cut += (part[u] != part[col[e]]);
+  for (int64_t i = 0; i < n; ++i) out_part[i] = part[i];
+  return cut;
+}
 }  // extern "C"

@@ -89,6 +89,76 @@ def test_halo_spmm_matches_dense(mesh):
     assert hp.halo_size < hp.base.rows_per_shard
 
 
+def test_ragged_halo_spmm_matches_dense(mesh):
+    """Ragged halo layout (per-pair exact routing, ppermute rounds on
+    CPU) == dense oracle; buffer is per-round-max, not global pair-max."""
+    import numpy as np
+    import jax.numpy as jnp
+    from graphslim_tpu import graph as G
+    from graphslim_tpu.dist.spmm import (partition_rows_halo,
+                                         partition_rows_halo_ragged,
+                                         shard_spmm_halo_ragged)
+
+    rng = np.random.default_rng(1)
+    n, d = 257, 19
+    src = np.arange(n)
+    ei = np.concatenate([
+        np.stack([src, (src + 1) % n]),
+        np.stack([src, (src + 3) % n]),
+        rng.integers(0, n, size=(2, 60)),
+    ], axis=1)
+    adj = G.gcn_norm(G.from_edge_index(ei, n, symmetrize=True))
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    hp = partition_rows_halo_ragged(adj, 8)
+    out = np.asarray(shard_spmm_halo_ragged(mesh, hp, jnp.asarray(x)))
+    want = np.asarray(adj.to_dense()) @ x
+    np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+    # skew-robustness: receive buffer <= padded layout's S*H rows
+    padded = partition_rows_halo(adj, 8)
+    assert hp.recv_len <= 8 * padded.halo_size
+
+
+def test_edge_cut_partitioner_quality():
+    """Multilevel C++ partitioner: balanced parts, and on a partitionable
+    (locality) graph the cut beats a random-order contiguous split."""
+    import numpy as np
+    from graphslim_tpu import graph as G
+    from graphslim_tpu import native
+    from graphslim_tpu.dist.spmm import edge_cut_order, reorder_adj
+
+    rng = np.random.default_rng(2)
+    n, k = 4096, 8
+    src = np.arange(n)
+    ring = [np.stack([src, (src + off) % n]) for off in (1, 2, 5)]
+    noise = rng.integers(0, n, size=(2, n // 4))
+    ei = np.concatenate(ring + [noise], axis=1)
+    # random node relabeling destroys id-order locality: the partitioner
+    # must REDISCOVER the ring structure
+    relab = rng.permutation(n)
+    ei = relab[ei]
+    adj = G.from_edge_index(ei, n, symmetrize=True)
+    indptr, col = np.asarray(adj.indptr), np.asarray(adj.col)
+    res = native.partition_graph(indptr, col, k, slack=0.05, passes=10)
+    if res is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    part, cut = res
+    sizes = np.bincount(part, minlength=k)
+    assert sizes.min() > 0.85 * n / k and sizes.max() < 1.15 * n / k
+    nnz = col.shape[0]
+    row = np.repeat(np.arange(n), np.diff(indptr))
+    rows_per = -(-n // k)
+    cut_naive = int((row // rows_per != col // rows_per).sum())
+    assert cut < 0.5 * cut_naive, (cut / nnz, cut_naive / nnz)
+    # edge_cut_order + reorder composes into a contiguous-split layout
+    order = edge_cut_order(adj, k)
+    a2 = reorder_adj(adj, order)
+    r2 = np.repeat(np.arange(n), np.diff(np.asarray(a2.indptr)))
+    cut_ordered = int(
+        (r2 // rows_per != np.asarray(a2.col) // rows_per).sum())
+    assert cut_ordered < 0.7 * cut_naive
+
+
 def test_sharded_row_gather(mesh):
     """Cross-shard gather returns exactly x[idx] per device."""
     from graphslim_tpu.dist.gather import make_sharded_row_gather

@@ -1,0 +1,95 @@
+"""Consume the reference's checked-in real reduced-cora artifacts.
+
+The reference ships real condensation outputs for its interactive
+browser (``/root/reference/interface/reduced_graph/{method}/
+{adj,label}_cora_{rate}_1.pt`` — layout read by
+``interface/vis_glim.py`` / ``vis_graphslim.py:26-117``).  These are the
+only *real-graph* data in this environment (no network), so loading
+them through :mod:`graphslim_tpu.compat` gives real-data artifact
+interop and a structural ground truth for what the reference's methods
+actually produce (VERDICT r2 item 4).
+
+Half the checked-in files were corrupted upstream by a UTF-8
+``errors='replace'`` re-encode; :func:`compat._salvage_mangled_pt`
+recovers the ones whose tensor payloads are ASCII-safe (int64 labels)
+and refuses — rather than silently mis-reading — the rest.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from graphslim_tpu import compat
+
+ROOT = "/root/reference/interface/reduced_graph"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(ROOT), reason="reference artifacts not mounted")
+
+# (method, rate, n, structure) — the recoverable subset; 0.25 adjacency
+# float payloads and kcenter labels lost bytes in the upstream mangle.
+RECOVERABLE = [
+    ("gcond", 0.1, 14), ("gcond", 0.5, 70),
+    ("gcondx", 0.1, 14), ("gcondx", 0.5, 70),
+    ("random", 0.1, 14), ("random", 0.5, 70),
+]
+
+
+@pytest.mark.parametrize("method,rate,n", RECOVERABLE)
+def test_load_reference_reduced(method, rate, n):
+    red = compat.load_reference_reduced(ROOT, method, "cora", rate)
+    adj = np.asarray(red.adj)
+    labels = np.asarray(red.labels)
+    assert adj.shape == (n, n)
+    assert labels.shape == (n,)
+    # cora has 7 classes; reference budgets are balanced per class
+    assert labels.min() >= 0 and labels.max() <= 6
+    counts = np.bincount(labels, minlength=7)
+    assert (counts == counts[0]).all(), counts
+    # adjacency is symmetric & non-negative
+    np.testing.assert_allclose(adj, adj.T, atol=1e-6)
+    assert float(adj.min()) >= 0.0
+
+
+def test_unrecoverable_artifacts_refuse_loudly():
+    """Lossy payloads must raise, never silently return garbage."""
+    with pytest.raises(compat.SalvageError):
+        compat.load_reference_reduced(ROOT, "gcond", "cora", 0.25)
+    with pytest.raises(compat.SalvageError):
+        compat.load_reference_reduced(ROOT, "kcenter", "cora", 0.1)
+
+
+def test_reference_gcond_structure_is_near_dense():
+    """The reference's real with-structure GCond output on cora is
+    near-dense (the learned sigmoid adjacency keeps almost every entry
+    above the eval threshold) — the structural regime our twin
+    investigation reproduced (docs/PERF.md 'learned-structure
+    investigation').  GCondX by contrast stores the identity."""
+    gc = np.asarray(
+        compat.load_reference_reduced(ROOT, "gcond", "cora", 0.5).adj)
+    gx = np.asarray(
+        compat.load_reference_reduced(ROOT, "gcondx", "cora", 0.5).adj)
+    n = gc.shape[0]
+    gc_density = (gc > 0).sum() / (n * n)
+    assert gc_density > 0.9, gc_density
+    # gcondx: exactly the n self-loop entries
+    assert ((gx > 0).sum()) == n
+    offdiag = gx - np.diag(np.diag(gx))
+    assert float(np.abs(offdiag).max()) == 0.0
+
+
+def test_property_evaluator_on_reference_artifacts():
+    """PropertyEvaluator runs end-to-end on the real reference outputs."""
+    from graphslim_tpu.eval.property import PropertyEvaluator
+
+    red = compat.load_reference_reduced(ROOT, "gcond", "cora", 0.5)
+    pe = PropertyEvaluator.__new__(PropertyEvaluator)   # no Dataset needed
+    props = pe.properties(red.adj, red.feat, red.labels)
+    for k in ("density", "laplacian_trace", "spectral_radius",
+              "cluster_coefficient", "homophily", "davies_bouldin"):
+        assert np.isfinite(props[k]), (k, props[k])
+    assert props["density"] > 0.9
+    # near-dense weighted graph: high clustering, homophily ≈ chance
+    # (1/7 ≈ 0.14) because every class pair is connected
+    assert props["homophily"] < 0.5
