@@ -163,10 +163,22 @@ TRANS_DATASETS = {"cora", "citeseer", "pubmed", "ogbn-arxiv", "synth-small",
 IND_DATASETS = {"flickr", "reddit", "amazon", "yelp", "synth-ind-small"}
 
 
+# Synthetic test twins inherit their real counterpart's method configs
+# (the calibrated synth-hard twin mirrors cora's supervision regime) —
+# without this, twin runs fall back to Args defaults (inner_loop=1,
+# outer_loop=10), which leaves with-structure condensation badly
+# undertrained (round-3 finding: gcond at paper config scores 0.807 on
+# synth-hard vs 0.46-0.58 at smoke defaults).
+_DATASET_ALIASES = {"synth-small": "cora", "synth-hard": "cora"}
+
+
 def apply_method_config(args: Args, explicit: set[str]) -> Args:
     """Overlay METHOD_CONFIGS[method][dataset]; explicit CLI flags and the
     protected ``init`` key win (reference ``config.py:30-35,381-386``)."""
-    conf = METHOD_CONFIGS.get(args.method, {}).get(args.dataset, {})
+    mconf = METHOD_CONFIGS.get(args.method, {})
+    dname = args.dataset if args.dataset in mconf \
+        else _DATASET_ALIASES.get(args.dataset, args.dataset)
+    conf = mconf.get(dname, {})
     updates: dict[str, Any] = {}
     for key, value in conf.items():
         if key == "init" and "init" in explicit:

@@ -19,6 +19,7 @@ This is a new design — the reference is single-device only
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -30,18 +31,22 @@ from jax import shard_map
 from graphslim_tpu import graph as G
 
 
-class RowPartition(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RowPartition:
     """Edge lists per shard, padded to a common length.
 
     ``row_local[s, e]`` is the row index *within shard s*; padded slots
-    carry ``val = 0`` so they contribute nothing.
+    carry ``val = 0`` so they contribute nothing.  Registered pytree
+    with static shape metadata so the whole container can cross ``jit``
+    boundaries (e.g. inside :class:`DistAdj`).
     """
 
     row_local: jax.Array   # [S, E_max] int32
     col: jax.Array         # [S, E_max] int32 (global)
     val: jax.Array         # [S, E_max] float32
-    rows_per_shard: int
-    n_rows: int
+    rows_per_shard: int = dataclasses.field(metadata=dict(static=True))
+    n_rows: int = dataclasses.field(metadata=dict(static=True))
 
 
 def partition_rows(adj: G.SparseAdj, n_shards: int) -> RowPartition:
@@ -202,7 +207,9 @@ def shard_spmm_halo(mesh: Mesh, hp: HaloPartition, x: jax.Array,
     return out.reshape(-1, x.shape[-1])[: part.n_rows]
 
 
-class RaggedHaloPartition(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RaggedHaloPartition:
     """Halo routing with per-pair exact sizes (no global pair-max pad).
 
     The padded layout (:class:`HaloPartition`) pads every (src, dst)
@@ -230,9 +237,10 @@ class RaggedHaloPartition(NamedTuple):
     out_offsets: jax.Array   # [S, S] int32: round-major remote offsets
     recv_sizes: jax.Array    # [S, S] int32 (receiver-major [dst, src])
     col_halo: jax.Array      # [S, E_max] int32 into [recv | local] buffer
-    send_max: int            # L_max
-    recv_len: int            # Σ_r round_max[r] (receive buffer rows)
-    round_max: tuple         # static per-round chunk sizes, len S-1
+    send_max: int = dataclasses.field(metadata=dict(static=True))
+    recv_len: int = dataclasses.field(metadata=dict(static=True))
+    # static per-round chunk sizes, len S-1
+    round_max: tuple = dataclasses.field(metadata=dict(static=True))
 
 
 def partition_rows_halo_ragged(adj: G.SparseAdj,
@@ -417,6 +425,47 @@ def shard_spmm(mesh: Mesh, part: RowPartition, x: jax.Array,
                 [x, jnp.zeros((pad, x.shape[-1]), x.dtype)])
     out = fn(part.row_local, part.col, part.val, x)
     return out.reshape(-1, x.shape[-1])[: part.n_rows]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DistAdj:
+    """Mesh-sharded full-graph adjacency with the local ``matmul``
+    contract, so it drops into ``models.base.aggregate`` and every
+    evaluator/hoist path unchanged (VERDICT r2 item 5: compose the dist
+    layer into evaluation).
+
+    Rows are partitioned by the multilevel edge-cut order; ``matmul``
+    permutes features into partition order, runs the ragged halo SpMM
+    over the mesh, and permutes back — callers keep original node ids.
+    """
+
+    hp: RaggedHaloPartition
+    order: jax.Array      # new -> old node id
+    inv: jax.Array        # old -> new node id
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        out = shard_spmm_halo_ragged(
+            self.mesh, self.hp, jnp.take(x, self.order, axis=0),
+            axis=self.axis)
+        return jnp.take(out, self.inv, axis=0)
+
+
+def build_dist_adj(adj_norm: G.SparseAdj, mesh: Mesh,
+                   axis: str = "data") -> DistAdj:
+    """Partition a normalized full-graph adjacency over ``mesh``."""
+    n_shards = int(mesh.devices.size)
+    order = edge_cut_order(adj_norm, n_shards)
+    a2 = reorder_adj(adj_norm, order)
+    hp = partition_rows_halo_ragged(a2, n_shards)
+    inv = np.empty(adj_norm.n_rows, dtype=np.int64)
+    inv[order] = np.arange(adj_norm.n_rows)
+    return DistAdj(hp=hp, order=jnp.asarray(order, jnp.int32),
+                   inv=jnp.asarray(inv, jnp.int32), mesh=mesh, axis=axis,
+                   nnz=int(adj_norm.nnz))
 
 
 def sharded_graph_forward(mesh: Mesh, part: RowPartition, w_list,

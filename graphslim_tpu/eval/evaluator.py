@@ -40,6 +40,17 @@ class Evaluator:
     def __init__(self, data: G.Dataset, args):
         self.data = data
         self.args = args
+        self._dist_adj = None
+
+    def enable_distributed(self, mesh, axis: str = "data") -> None:
+        """Opt-in mesh path: full-graph val/test forwards run the ragged
+        halo SpMM over ``mesh`` (node-sharded features), so evaluation
+        scales past one chip's HBM (VERDICT r2 item 5).  The reduced
+        training graph stays local (it is tiny by construction)."""
+        from graphslim_tpu.dist.spmm import build_dist_adj
+
+        self._dist_adj = build_dist_adj(
+            G.gcn_norm(self.data.adj), mesh, axis=axis)
 
     # ------------------------------------------------------------------
     def _eval_model(self, model_type: str, nfeat: int):
@@ -72,7 +83,11 @@ class Evaluator:
     def _full_adj(self, model_type: str):
         """Normalized full adjacency in the ELL fast layout.  GAT included:
         its edge softmax runs scatter-free on the padded buckets
-        (kernels/ell.attention_ell, measured in docs/PERF.md)."""
+        (kernels/ell.attention_ell, measured in docs/PERF.md).  With the
+        opt-in mesh path, non-attention models get the node-sharded
+        DistAdj instead (GAT's edge softmax needs the ELL layout)."""
+        if self._dist_adj is not None and model_type != "GAT":
+            return self._dist_adj
         return self.data.adj_norm_ell()
 
     def _val_tuple(self, model_type: str):
@@ -158,13 +173,20 @@ class Evaluator:
             budget = int(2e8)   # ≈0.8 GB of f32 gather buffers per chunk
             chunk = budget // max(per_seed, 1)
         chunk = max(1, min(runs, chunk))
+        if self._dist_adj is not None:
+            # mesh path: shard_map collectives under vmap are fragile —
+            # run seeds sequentially (each seed is one compiled program,
+            # reused across seeds)
+            chunk = 1
         n_chunks = -(-runs // chunk)
         chunk = -(-runs // n_chunks)          # equal widths: one program
         if n_chunks * chunk > runs:           # pad keys, drop extras below
             keys = jax.random.split(jax.random.key(seed),
                                     n_chunks * chunk)
         acc_parts, val_parts = [], []
-        vone = jax.vmap(one)
+        vone = jax.vmap(one) if chunk > 1 else (
+            lambda ks: jax.tree.map(lambda a: jnp.asarray(a)[None],
+                                    one(ks[0])))
         for lo in range(0, n_chunks * chunk, chunk):
             a_c, v_c = vone(keys[lo:lo + chunk])
             acc_parts.append(np.asarray(a_c))

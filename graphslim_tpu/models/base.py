@@ -32,6 +32,8 @@ def aggregate(adj: Any, x: jax.Array) -> jax.Array:
         return x
     if isinstance(adj, (G.SparseAdj, EllAdj)):
         return adj.matmul(x)
+    if hasattr(adj, "matmul"):     # duck-typed (e.g. dist.DistAdj)
+        return adj.matmul(x)
     adj = jnp.asarray(adj)
     if adj.ndim == 3 and x.ndim == 2:
         return jnp.einsum("bij,jd->bid", adj, x)

@@ -118,6 +118,31 @@ def test_ragged_halo_spmm_matches_dense(mesh):
     assert hp.recv_len <= 8 * padded.halo_size
 
 
+def test_evaluator_mesh_path_matches_local(mesh):
+    """Evaluator.enable_distributed: full-graph val/test forwards through
+    DistAdj (ragged halo SpMM) produce the same accuracies as the local
+    ELL path, for both the fully-hoisted (SGC) and in-loop (GCN) cases."""
+    import numpy as np
+    from graphslim_tpu.config import Args, finalize
+    from graphslim_tpu.data import load
+    from graphslim_tpu.eval.evaluator import Evaluator
+    from graphslim_tpu.reduce import create_reducer
+
+    ds = load("synth-small", setting="trans", split="random", seed=0)
+    args = finalize(
+        Args(dataset="synth-small", method="random", reduction_rate=0.5,
+             eval_epochs=30, run_eval=2),
+        explicit={"eval_epochs", "run_eval"})
+    red = create_reducer("random", ds, args).reduce(ds)
+    for mt in ("SGC", "GCN"):
+        (m0, s0), _ = Evaluator(ds, args).evaluate(red, mt)
+        ev = Evaluator(ds, args)
+        ev.enable_distributed(mesh)
+        (m1, s1), _ = ev.evaluate(red, mt)
+        assert abs(m0 - m1) < 1e-6, (mt, m0, m1)
+        assert abs(s0 - s1) < 1e-6, (mt, s0, s1)
+
+
 def test_edge_cut_partitioner_quality():
     """Multilevel C++ partitioner: balanced parts, and on a partitionable
     (locality) graph the cut beats a random-order contiguous split."""
