@@ -140,9 +140,13 @@ def probe_blocked():
     nnz = h.col.shape[0]
     print(f"ELL baseline: {t_ell*1e3:6.2f} ms = {nnz/t_ell/1e6:6.1f} "
           f"Medges/s", flush=True)
-    for td, ts, chunk, scatter in ((1024, 4096, 2048, "cumsum"),
-                                   (256, 4096, 2048, "onehot"),
-                                   (1024, 8192, 4096, "cumsum")):
+    # compiled cumsum path requires td == ts == chunk (Mosaic same-shape
+    # dynamic_gather); kept for re-testing on future toolchains — on this
+    # one the dynamic_gather crashes the AOT compiler beyond one vreg
+    # and the kernel is REJECTED (docs/PERF.md round 3)
+    for td, ts, chunk, scatter in ((4096, 4096, 4096, "cumsum"),
+                                   (8192, 8192, 8192, "cumsum"),
+                                   (256, 4096, 2048, "onehot")):
         try:
             t0 = time.time()
             bc = build_blocked(h.indptr, h.col, h.val, td=td, ts=ts,

@@ -1,4 +1,20 @@
-"""Cache-blocked Pallas SpMM — the round-2 re-attempt (VERDICT r1 item 4).
+"""Cache-blocked Pallas SpMM — measured on chip and REJECTED (round 3).
+
+DECISION (2026-08-21, v5e, jax 0.9 / axon AOT toolchain): the kernel
+cannot be compiled for TPU because Mosaic's only gather primitive
+(`tpu.dynamic_gather`, the same-shape ``take_along_axis`` form) crashes
+the AOT compiler for every operand larger than one 8-sublane vreg group
+(measured boundary: (8, ≤lanes) ✓, anything with sublane dim ≠ 8 ✗).
+An 8-row shuffle cannot express the in-VMEM row gather this design
+needs.  Measured same-session: the production ELL SpMM runs at 92 % of
+the pure-XLA-gather floor (17.40 ms vs 16.06 ms for the bare gather of
+the same 4.6 M rows), so no gather-based kernel has meaningful headroom
+anyway.  Full decision trail: docs/PERF.md "Blocked Pallas SpMM —
+measured on chip and REJECTED".  The module is kept as the documented
+negative result; interpret-mode parity tests keep the layout builder
+honest should a future toolchain ship a real VMEM gather.
+
+Original design notes (round-2 re-attempt, VERDICT r1 item 4):
 
 Round 1 established that the XLA row gather runs at a fixed effective
 rate regardless of index locality or element width, and rejected per-row
@@ -206,7 +222,15 @@ def spmm_blocked(bc: BlockedCOO, x: jax.Array, interpret: bool = False,
                 preferred_element_type=jnp.float32)
         else:
             bnd = bnd_ref[0].reshape(-1)[: td + 1]      # [td + 1]
-            cs = jnp.cumsum(weighted.astype(jnp.float32), axis=0)
+            # Hillis-Steele prefix sum via roll+mask — Mosaic has no
+            # cumsum lowering (log2(chunk) shifted adds on the VPU)
+            cs = weighted.astype(jnp.float32)
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (chunk, d), 0)
+            shift = 1
+            while shift < chunk:
+                rolled = pltpu.roll(cs, shift, axis=0)
+                cs = cs + jnp.where(ridx >= shift, rolled, 0.0)
+                shift *= 2
             # row r sum = cs[bnd[r+1]-1] - cs[bnd[r]-1]  (cs[-1] := 0)
             hi_idx = bnd[1:] - 1
             lo_idx = bnd[:-1] - 1

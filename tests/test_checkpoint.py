@@ -28,6 +28,7 @@ def test_save_load_roundtrip(tmp_path):
     assert bad is None and e == 0
 
 
+@pytest.mark.slow
 def test_gcond_resume(tmp_path, synth_dataset):
     ds = synth_dataset
     base = dict(dataset="synth-small", method="gcond",

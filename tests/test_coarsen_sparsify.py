@@ -23,6 +23,7 @@ COARSEN = ["variation_neighborhoods", "variation_edges",
 
 
 @pytest.mark.parametrize("method", COARSEN)
+@pytest.mark.slow
 def test_coarsening_e2e(tmp_path, synth_dataset, method):
     ds = synth_dataset
     args = _args(tmp_path, method)

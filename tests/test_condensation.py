@@ -84,6 +84,7 @@ def _run(method, ds, tmp_path, **extra):
 
 
 @pytest.mark.parametrize("method", ["gcond", "doscond"])
+@pytest.mark.slow
 def test_gcond_structured(tmp_path, synth_dataset, method):
     # doscond (one optimizer step per outer iter) needs a hotter lr to
     # converge inside the 4-epoch test budget robustly across RNG streams
@@ -97,6 +98,7 @@ def test_gcond_structured(tmp_path, synth_dataset, method):
 
 
 @pytest.mark.parametrize("method", ["gcondx", "doscondx", "gcdm"])
+@pytest.mark.slow
 def test_gcond_structure_free(tmp_path, synth_dataset, method):
     extra = {"condense_model": "GCN", "dis_metric": "mse",
              "lr_feat": 0.05} if method == "gcdm" else {}

@@ -51,6 +51,7 @@ def test_ell_in_model_forward(synth_dataset):
     np.testing.assert_allclose(out_ell, out_sp, rtol=5e-3, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_simgc(tmp_path, synth_dataset):
     red, acc = _run("simgc", synth_dataset, tmp_path, epochs=30,
                     lr_teacher=0.01, threshold=0.05)
@@ -58,6 +59,7 @@ def test_simgc(tmp_path, synth_dataset):
     assert acc > 0.7, acc
 
 
+@pytest.mark.slow
 def test_sgdd(tmp_path, synth_dataset):
     red, acc = _run("sgdd", synth_dataset, tmp_path,
                     opt_scale=1e-11, mx_size=100)
@@ -67,6 +69,7 @@ def test_sgdd(tmp_path, synth_dataset):
     assert acc > 0.5, acc
 
 
+@pytest.mark.slow
 def test_msgc(tmp_path, synth_dataset):
     ds = synth_dataset
     red, acc = _run("msgc", ds, tmp_path, batch_adj=3)

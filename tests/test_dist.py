@@ -42,6 +42,7 @@ def test_sharded_multi_seed(mesh):
     assert len(np.unique(out)) == 10
 
 
+@pytest.mark.slow
 def test_distributed_gcond(tmp_path, synth_dataset):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -89,6 +90,7 @@ def test_halo_spmm_matches_dense(mesh):
     assert hp.halo_size < hp.base.rows_per_shard
 
 
+@pytest.mark.slow
 def test_ragged_halo_spmm_matches_dense(mesh):
     """Ragged halo layout (per-pair exact routing, ppermute rounds on
     CPU) == dense oracle; buffer is per-round-max, not global pair-max."""
@@ -118,6 +120,7 @@ def test_ragged_halo_spmm_matches_dense(mesh):
     assert hp.recv_len <= 8 * padded.halo_size
 
 
+@pytest.mark.slow
 def test_evaluator_mesh_path_matches_local(mesh):
     """Evaluator.enable_distributed: full-graph val/test forwards through
     DistAdj (ragged halo SpMM) produce the same accuracies as the local

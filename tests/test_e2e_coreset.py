@@ -44,6 +44,7 @@ def test_agg_variant(tmp_path, synth_dataset):
     assert type(agent).__name__ == "KCenterAgg"
 
 
+@pytest.mark.slow
 def test_inductive_coreset(tmp_path):
     ds = load("synth-ind-small", seed=0)
     args = _args(tmp_path, dataset="synth-ind-small", method="random")

@@ -53,6 +53,7 @@ def test_mia():
 
 @pytest.mark.parametrize("attack_name", ["random_adj", "random_feat",
                                          "metattack"])
+@pytest.mark.slow
 def test_attacks(tmp_path, attack_name):
     from graphslim_tpu.data.attack import attack
 
@@ -77,6 +78,7 @@ def test_attacks(tmp_path, attack_name):
     assert out2.adj.nnz == out.adj.nnz
 
 
+@pytest.mark.slow
 def test_nas_quick(tmp_path, synth_dataset):
     ds = synth_dataset
     args = _args(tmp_path, eval_epochs=30)
@@ -95,6 +97,7 @@ def test_pearson():
     assert pearson(a, -a) == pytest.approx(-1.0)
 
 
+@pytest.mark.slow
 def test_grid_search(tmp_path, synth_dataset):
     ds = synth_dataset
     args = _args(tmp_path, run_eval=2)
@@ -105,6 +108,7 @@ def test_grid_search(tmp_path, synth_dataset):
     assert params["hidden"] in (32, 64)
 
 
+@pytest.mark.slow
 def test_mia_on_trained_model(tmp_path, synth_dataset):
     from graphslim_tpu import models as M
 

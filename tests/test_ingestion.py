@@ -49,6 +49,7 @@ def test_saint_ingestion_files_win_over_synthesis():
 
 
 @pytest.mark.parametrize("method", ["kcenter", "gcond"])
+@pytest.mark.slow
 def test_reduce_on_ingested_files(tmp_path, method):
     """kcenter + gcond end-to-end on file-ingested data via load_path
     (VERDICT r1 item 8's 'done' criterion)."""

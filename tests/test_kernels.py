@@ -1,6 +1,7 @@
 """Kernel-level allclose tests vs dense references (SURVEY.md §4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -96,6 +97,7 @@ class TestNeighborSample:
 # Fused Pallas PGE pair-scoring kernel (interpret mode on CPU)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_pallas_pge_fwd_bwd_vs_oracle():
     """Kernel forward and custom-VJP backward match the pure-JAX oracle
     implementing identical tile-local-BN math (f32 matmuls isolate the

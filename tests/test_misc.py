@@ -11,6 +11,7 @@ from graphslim_tpu import graph as G
 from graphslim_tpu import models as M
 
 
+@pytest.mark.slow
 def test_sgformer_forward_and_train(synth_dataset):
     ds = synth_dataset
     model = M.get_model("SGFormer", M.ModelConfig(

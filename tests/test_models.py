@@ -62,6 +62,7 @@ def test_forward_batched_dense(synth_dataset, name):
 
 
 @pytest.mark.parametrize("name", ["GCN", "SGC", "APPNP", "GraphSage"])
+@pytest.mark.slow
 def test_forward_blocks_match_full(synth_dataset, name):
     """With fanout >= max degree, sampled-block forward == full forward."""
     ds = synth_dataset
@@ -171,6 +172,7 @@ def test_bce_loss_matches_torch_semantics():
     assert abs(got - want) < 1e-6
 
 
+@pytest.mark.slow
 def test_gat_ell_matches_segment(synth_dataset):
     """GAT's scatter-free ELL attention path (kernels/ell.attention_ell)
     must match the segment-softmax edge-list path bit-for-bit semantics
@@ -203,6 +205,7 @@ def test_gat_ell_heavy_path_matches_segment(synth_dataset):
     np.testing.assert_allclose(out_sp, out_ell, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_gat_ell_grads_finite(synth_dataset):
     ds = synth_dataset
     model = M.get_model("GAT", _cfg(ds))

@@ -23,6 +23,7 @@ def _args(tmp_path, method, **kw):
     return finalize(Args(**base), explicit=set(base))
 
 
+@pytest.mark.slow
 def test_sfgc_e2e(tmp_path, synth_dataset):
     ds = synth_dataset
     args = _args(tmp_path, "sfgc")
@@ -52,6 +53,7 @@ def test_sfgc_buffer_shape(tmp_path, synth_dataset):
 
 
 @pytest.mark.parametrize("soft", [0, 1])
+@pytest.mark.slow
 def test_geom_e2e(tmp_path, synth_dataset, soft):
     ds = synth_dataset
     args = _args(tmp_path, "geom", soft_label=soft, beta=0.01,
@@ -142,6 +144,7 @@ def test_gecc_evolves_across_splits(tmp_path, synth_dataset):
     assert mean > 0.75, mean
 
 
+@pytest.mark.slow
 def test_gecc_sampled_aggregation_oracle(tmp_path, synth_dataset):
     """With fanout >= max degree the sampled hop-mix estimate equals the
     exact ELL hop mix (every neighbor is sampled, weights normalized)."""
