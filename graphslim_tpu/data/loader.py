@@ -54,6 +54,12 @@ class DatasetSpec:
 # Scales follow the reference's dataset table (efficiency.md:123-131 and
 # PyG dataset cards); homophily/degree approximate the public statistics.
 _SPECS = [
+    # Real data: Zachary's karate club via networkx (34 nodes, 2 factions,
+    # REAL graph — no download needed).  Features are the identity matrix
+    # (the standard GCN-on-karate convention); tiny, but every number on
+    # it is a real-graph number.
+    DatasetSpec("karate", 34, 34, 2, 4.6, 0.72, "none", "trans",
+                "few", synth_ok=False),
     # Test fixtures: deliberately easy (high separation), NOT calibrated.
     DatasetSpec("synth-small", 600, 32, 4, 6.0, 0.8, "row_norm", "trans",
                 "random", feature_noise=1.0, center_scale=2.0),
@@ -192,6 +198,20 @@ def _synth_cached(name: str, spec: DatasetSpec):
     return out
 
 
+def _load_karate() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zachary's karate club — a real graph shipped with networkx."""
+    import networkx as nx
+
+    g = nx.karate_club_graph()
+    edges = np.asarray(list(g.edges()), dtype=np.int64).T
+    n = g.number_of_nodes()
+    labels = np.asarray(
+        [0 if g.nodes[i]["club"] == "Mr. Hi" else 1 for i in range(n)],
+        dtype=np.int32)
+    feat = np.eye(n, dtype=np.float32)
+    return edges, feat, labels
+
+
 def load(name: str, setting: Optional[str] = None, split: Optional[str]
          = None, seed: int = 0, data_dir: Optional[str] = None,
          pre_norm: bool = False) -> G.Dataset:
@@ -214,6 +234,9 @@ def load(name: str, setting: Optional[str] = None, split: Optional[str]
     if loaded is not None:
         edge_index, feat_np, labels_np, role = loaded
         nclass = int(labels_np.max()) + 1
+    elif name == "karate":
+        edge_index, feat_np, labels_np = _load_karate()
+        nclass = spec.nclass
     else:
         if not spec.synth_ok:
             raise FileNotFoundError(
