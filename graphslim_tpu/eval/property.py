@@ -47,8 +47,18 @@ def laplacian_trace(W: sp.csr_matrix, k: int = 10) -> float:
     if n <= 2000:
         vals = np.linalg.eigvalsh(L.toarray())[:k]
     else:
-        vals = sp.linalg.eigsh(L, k=k, which="SA",
-                               return_eigenvectors=False, tol=1e-4)
+        # shift-invert at sigma<0: ARPACK 'SA' without it can take
+        # thousands of iterations for the smallest Laplacian eigenvalues
+        # (observed hanging on a 20k-node graph); 'LM' on (L - sigma I)^-1
+        # converges in a handful
+        try:
+            vals = sp.linalg.eigsh(L.tocsc(), k=k, sigma=-0.01,
+                                   which="LM", return_eigenvectors=False,
+                                   tol=1e-4)
+        except Exception:
+            vals = sp.linalg.eigsh(L, k=k, which="SA",
+                                   return_eigenvectors=False, tol=1e-4,
+                                   maxiter=2000)
     return float(np.sum(vals))
 
 
