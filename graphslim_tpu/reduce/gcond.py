@@ -150,8 +150,11 @@ class GCond(CondensationBase):
             key, ke = jax.random.split(key)
             feat_syn, pge_params, opt_f, opt_p, loss_sum = fns[update_pge](
                 ke, feat_syn, pge_params, opt_f, opt_p, self.real)
-            loss_avg = float(loss_sum) / denom
             if it in args.checkpoints:
+                # device->host readback only at checkpoints: on the
+                # tunneled backend a per-epoch float() costs more than
+                # the epoch itself (docs/PERF.md remote-backend rules)
+                loss_avg = float(loss_sum) / denom
                 adj_syn = self.inference_adj(pge_params, feat_syn)
                 best_val = self.intermediate_evaluation(
                     feat_syn, adj_syn, best_val, it, loss_avg, verbose)
