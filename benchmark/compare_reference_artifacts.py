@@ -24,7 +24,14 @@ if _REPO not in sys.path:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("GRAFT_COMPARE_BACKEND", "cpu") == "cpu":
+    # tiny graphs: CPU by default; set GRAFT_COMPARE_BACKEND=tpu to run
+    # the condensations on the chip (the cora twin's d=1433 per-class
+    # gradient blocks are ~100x faster there)
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
 
 import numpy as np  # noqa: E402
 

@@ -44,11 +44,15 @@ def main() -> None:
     ds = load("ogbn-arxiv", split="fixed", seed=0)
     print(f"[{time.time()-t0:6.1f}s] dataset loaded", flush=True)
 
+    # resume=True: the axon TPU worker has been observed crashing on
+    # multi-hundred-epoch runs; GCond checkpoints train state every
+    # eval_interval epochs, so rerunning this script continues from the
+    # last checkpoint instead of starting over
     args = finalize(
         Args(dataset="ogbn-arxiv", method="gcond", reduction_rate=0.01,
              save_path="/tmp/graft_artifact", run_eval=3,
-             run_inter_eval=1),
-        explicit={"run_eval", "run_inter_eval"})
+             run_inter_eval=1, resume=True),
+        explicit={"run_eval", "run_inter_eval", "resume"})
     eng = create_reducer("gcond", ds, args)
     red = eng.reduce(ds)
     print(f"[{time.time()-t0:6.1f}s] condensation done", flush=True)
