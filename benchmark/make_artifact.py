@@ -70,7 +70,7 @@ def main() -> None:
         ik, rk = jax.random.split(jax.random.key(seed))
         fit = _build_fit(None, type(model), model.cfg,
                          M.TrainConfig(epochs=300, lr=0.01,
-                                       weight_decay=5e-4))
+                                       weight_decay=5e-4, seg=100))
         bp, _, _ = fit(rk, model.init(ik), ds.feat, adj,
                        ds.labels[jnp.asarray(ds.idx_train)],
                        jnp.asarray(ds.idx_train), ds.feat, adj,

@@ -143,9 +143,19 @@ class Evaluator:
                                           keep)
             val = hoist_batch(val, hops, keep)
             test = hoist_batch(test, hops, keep)
+        # seg=100 on the tunneled TPU backend: single programs executing
+        # >~10 s (300-epoch full-graph GCN fits) have crashed the remote
+        # worker; segments are numerically identical (TrainConfig.seg)
+        seg = 100 if jax.default_backend() == "tpu" else 0
         cfg = M.TrainConfig(epochs=a.eval_epochs, lr=a.lr or 0.01,
-                            weight_decay=5e-4, metric=a.metric)
+                            weight_decay=5e-4, metric=a.metric, seg=seg)
         keys = jax.random.split(jax.random.key(seed), runs)
+
+        # jitted once per evaluate() call; reused across seeds (the
+        # sequential chunk==1 path would otherwise run the full-graph
+        # test forward eagerly — pathological on remote-compile backends)
+        eval_fn = jax.jit(lambda p, x_t, adj_t, y_t, idx_t: M.evaluate(
+            model, p, x_t, adj_t, y_t, idx_t, metric=a.metric))
 
         def one(key):
             ik, rk = jax.random.split(key)
@@ -154,8 +164,7 @@ class Evaluator:
             fit = _build_fit(None, type(model), model.cfg, cfg)
             best_params, best_val, _ = fit(rk, params0, tx, tadj, ty, None,
                                            *val)
-            acc = M.evaluate(model, best_params, test[0], test[1], test[2],
-                             test[3], metric=a.metric)
+            acc = eval_fn(best_params, test[0], test[1], test[2], test[3])
             return acc, best_val
 
         # Seed-vmap width is HBM-bounded on large full graphs: the test
@@ -325,8 +334,12 @@ class Evaluator:
         a = self.args
         tx, tadj, ty = self._train_tuple(reduced, "APPNP")
         val = self._val_tuple("APPNP")
+        # seg=100 on the tunneled TPU backend: single programs executing
+        # >~10 s (300-epoch full-graph GCN fits) have crashed the remote
+        # worker; segments are numerically identical (TrainConfig.seg)
+        seg = 100 if jax.default_backend() == "tpu" else 0
         cfg = M.TrainConfig(epochs=a.eval_epochs, lr=a.lr or 0.01,
-                            weight_decay=5e-4, metric=a.metric)
+                            weight_decay=5e-4, metric=a.metric, seg=seg)
         keys = jax.random.split(jax.random.key(seed), runs)
 
         def one(key):

@@ -40,6 +40,14 @@ class TrainConfig:
     metric: str = "accuracy"
     loss: str = "nll"  # 'nll' | 'soft' | 'mse' | 'bce'
     dropout_in_train: bool = True
+    # Split the epoch scan into jit calls of at most ``seg`` epochs
+    # (0 = single program).  Numerically identical (the carry moves
+    # across segments); used because long-executing single programs
+    # (300-epoch full-graph GCN fits, ~10 s on-device) have been
+    # observed crashing the tunneled TPU worker, while <=120-epoch
+    # segments run reliably.  Under vmap the segments fuse back into
+    # one traced program, so the vmapped multi-seed path is unchanged.
+    seg: int = 0
 
 
 class Batch(dict):
@@ -83,46 +91,76 @@ def _build_fit(model_key, model_type, model_cfg, cfg: TrainConfig):
     metric = utils.metric_fn(cfg.metric, model_cfg.nclass)
     half = cfg.epochs // 2
 
-    def fit(key, params0, tx, tadj, ty, tidx, vx, vadj, vy, vidx):
-        opt = optax.chain(
+    def epoch_fn(carry, i, tx, tadj, ty, tidx, vx, vadj, vy, vidx, opt):
+        params, opt_state, best_acc, best_params, key = carry
+        key, dk = jax.random.split(key)
+
+        def loss_of(p):
+            out = model.apply(p, tx, tadj, training=True,
+                              key=dk if cfg.dropout_in_train else None)
+            return _loss_fn(cfg, out, ty, tidx)
+
+        loss, grads = jax.value_and_grad(loss_of)(params)
+        updates, new_opt_state = opt.update(grads, opt_state, params)
+        lr_t = jnp.where((i >= half) & (cfg.lr > 1e-3),
+                         cfg.lr * 0.1, cfg.lr)
+        params = jax.tree.map(lambda p, u: p - lr_t * u, params,
+                              updates)
+
+        val_out = model.apply(params, vx, vadj, training=False)
+        if vidx is not None:
+            val_out = jnp.take(val_out, vidx, axis=0)
+        acc = metric(val_out, vy)
+        better = acc > best_acc
+        best_acc = jnp.where(better, acc, best_acc)
+        best_params = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), params,
+            best_params)
+        return (params, new_opt_state, best_acc, best_params, key), loss
+
+    def _opt():
+        return optax.chain(
             optax.add_decayed_weights(cfg.weight_decay),
             optax.scale_by_adam(),
         )
-        opt_state = opt.init(params0)
 
-        def epoch(carry, i):
-            params, opt_state, best_acc, best_params, key = carry
-            key, dk = jax.random.split(key)
+    if cfg.seg <= 0 or cfg.seg >= cfg.epochs:
+        def fit(key, params0, tx, tadj, ty, tidx, vx, vadj, vy, vidx):
+            opt = _opt()
+            init = (params0, opt.init(params0), jnp.float32(-1.0),
+                    params0, key)
+            (params, _, best_acc, best_params, _), losses = jax.lax.scan(
+                lambda c, i: epoch_fn(c, i, tx, tadj, ty, tidx, vx, vadj,
+                                      vy, vidx, opt),
+                init, jnp.arange(cfg.epochs))
+            return best_params, best_acc, losses
 
-            def loss_of(p):
-                out = model.apply(p, tx, tadj, training=True,
-                                  key=dk if cfg.dropout_in_train else None)
-                return _loss_fn(cfg, out, ty, tidx)
+        return jax.jit(fit)
 
-            loss, grads = jax.value_and_grad(loss_of)(params)
-            updates, new_opt_state = opt.update(grads, opt_state, params)
-            lr_t = jnp.where((i >= half) & (cfg.lr > 1e-3),
-                             cfg.lr * 0.1, cfg.lr)
-            params = jax.tree.map(lambda p, u: p - lr_t * u, params,
-                                  updates)
+    # segmented: one jitted scan of <= seg epochs, driven by a Python
+    # loop that threads the full carry (see TrainConfig.seg)
+    @jax.jit
+    def run_seg(carry, idx, tx, tadj, ty, tidx, vx, vadj, vy, vidx):
+        opt = _opt()
+        return jax.lax.scan(
+            lambda c, i: epoch_fn(c, i, tx, tadj, ty, tidx, vx, vadj,
+                                  vy, vidx, opt),
+            carry, idx)
 
-            val_out = model.apply(params, vx, vadj, training=False)
-            if vidx is not None:
-                val_out = jnp.take(val_out, vidx, axis=0)
-            acc = metric(val_out, vy)
-            better = acc > best_acc
-            best_acc = jnp.where(better, acc, best_acc)
-            best_params = jax.tree.map(
-                lambda new, old: jnp.where(better, new, old), params,
-                best_params)
-            return (params, new_opt_state, best_acc, best_params, key), loss
+    def fit(key, params0, tx, tadj, ty, tidx, vx, vadj, vy, vidx):
+        opt = _opt()
+        carry = (params0, opt.init(params0), jnp.float32(-1.0),
+                 params0, key)
+        loss_parts = []
+        for lo in range(0, cfg.epochs, cfg.seg):
+            hi = min(lo + cfg.seg, cfg.epochs)
+            carry, losses = run_seg(carry, jnp.arange(lo, hi), tx, tadj,
+                                    ty, tidx, vx, vadj, vy, vidx)
+            loss_parts.append(losses)
+        params, _, best_acc, best_params, _ = carry
+        return best_params, best_acc, jnp.concatenate(loss_parts)
 
-        init = (params0, opt_state, jnp.float32(-1.0), params0, key)
-        (params, _, best_acc, best_params, _), losses = jax.lax.scan(
-            epoch, init, jnp.arange(cfg.epochs))
-        return best_params, best_acc, losses
-
-    return jax.jit(fit)
+    return fit
 
 
 def fit_with_val(model: GNNModel, key: jax.Array, *,
