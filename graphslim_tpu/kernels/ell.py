@@ -192,6 +192,17 @@ def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
     semantics.
     """
     H, h = feat.shape[1], feat.shape[2]
+    # Two round-3 on-chip findings shape this layout (docs/PERF.md):
+    # 1. XLA TPU's fast row-gather path requires a 2-D operand —
+    #    gathering the same rows from the 3-D [n, H, h] view measured
+    #    20x slower (335.6 vs 16.3 ms at arxiv scale);
+    # 2. gathers are transaction-bound, so the per-edge alpha_src rows
+    #    ride along in ONE combined gather with the features
+    #    ([n, H + H*h] operand) instead of paying a second transaction
+    #    per slot.  Full layer: 414.7 -> 45.2 ms (11 -> 98 Medges/s).
+    comb = jnp.concatenate(
+        [alpha_src.astype(feat.dtype),
+         feat.reshape(feat.shape[0], H * h)], axis=1)
     n_parts = len(ell.buckets) + (1 if ell.heavy_col is not None else 0)
     if dropout_key is not None:
         dks = list(jax.random.split(dropout_key, max(n_parts, 1)))
@@ -207,7 +218,9 @@ def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
     parts = []
     for i, b in enumerate(ell.buckets):
         a_d = jnp.take(alpha_dst, b.rows, axis=0)          # [n_b, H]
-        a_s = jnp.take(alpha_src, b.idx, axis=0)           # [n_b, K, H]
+        gc = jnp.take(comb, b.idx, axis=0)                 # [n_b, K, H+H*h]
+        a_s = gc[..., :H]
+        g = gc[..., H:].reshape(b.idx.shape[0], b.idx.shape[1], H, h)
         s = jax.nn.leaky_relu(a_d[:, None, :] + a_s, negative_slope)
         mask = (b.val != 0.0)[..., None]                   # [n_b, K, 1]
         s = jnp.where(mask, s, -1e9)
@@ -216,13 +229,18 @@ def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
         att = e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-16)
         att = att * b.val[..., None]
         att = _drop(dks[i], att)
-        g = jnp.take(feat, b.idx, axis=0)                  # [n_b, K, H, h]
+        # measured full-layer on chip (r3): einsum beats elementwise
+        # mul+sum here (128.8 vs 149.8 ms pre-fusion; isolated
+        # microbenchmarks of the contraction alone invert this — the
+        # fusion context decides)
         parts.append(jnp.einsum("nkh,nkhd->nhd", att.astype(feat.dtype), g))
     if ell.heavy_col is not None:
         from graphslim_tpu.kernels.segment import segment_softmax
         a_d = jnp.take(jnp.take(alpha_dst, ell.heavy_rows, axis=0),
                        ell.heavy_row, axis=0)              # [E_h, H]
-        a_s = jnp.take(alpha_src, ell.heavy_col, axis=0)
+        gc = jnp.take(comb, ell.heavy_col, axis=0)         # [E_h, H+H*h]
+        a_s = gc[..., :H]
+        g = gc[..., H:].reshape(-1, H, h)
         s = jax.nn.leaky_relu(a_d + a_s, negative_slope)
         # exclude zero-valued edges from the denominator, matching the
         # bucket path's masking (see docstring)
@@ -231,10 +249,12 @@ def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
                               indices_are_sorted=True)
         att = att * ell.heavy_val[:, None]
         att = _drop(dks[-1], att)
-        g = jnp.take(feat, ell.heavy_col, axis=0)          # [E_h, H, h]
         parts.append(jax.ops.segment_sum(
             g * att[..., None].astype(feat.dtype), ell.heavy_row,
             num_segments=ell.n_heavy, indices_are_sorted=True))
     parts.append(jnp.zeros((1, H, h), dtype=feat.dtype))
     stacked = jnp.concatenate(parts, axis=0)
-    return jnp.take(stacked, ell.inv_perm, axis=0)
+    # 2-D operand for the inverse-permutation gather too (see above)
+    out2 = jnp.take(stacked.reshape(stacked.shape[0], H * h),
+                    ell.inv_perm, axis=0)
+    return out2.reshape(-1, H, h)
