@@ -139,15 +139,21 @@ class PropertyEvaluator:
             "homophily": homophily(W, labels_np),
             "davies_bouldin": davies_bouldin(feat_np, labels_np),
         }
-        # aggregated-feature DB (reference graph_property.py:150-173)
+        # aggregated-feature DB (reference graph_property.py:150-173) —
+        # host-side scipy SpMM: property evaluation is a post-hoc
+        # analysis pass, and eager device matmuls here have OOMed when
+        # run right after a condensation left HBM populated
         if W.nnz:
-            sadj = G.from_edge_index(
-                np.stack([W.tocoo().row, W.tocoo().col]), W.shape[0],
-                edge_weight=W.tocoo().data, dedup=False)
-            norm = G.gcn_norm(sadj)
-            agg = np.asarray(norm.matmul(norm.matmul(jnp.asarray(
-                feat_np, dtype=jnp.float32))))
-            out["davies_bouldin_agg"] = davies_bouldin(agg, labels_np)
+            n = W.shape[0]
+            A = (W + sp.eye(n, format="csr")).tocsr()
+            deg = np.asarray(A.sum(1)).ravel()
+            with np.errstate(divide="ignore"):
+                dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+            Dn = sp.diags(dinv)
+            An = Dn @ A @ Dn
+            agg = An @ (An @ feat_np.astype(np.float64))
+            out["davies_bouldin_agg"] = davies_bouldin(
+                np.asarray(agg, dtype=np.float32), labels_np)
         return out
 
     def compare(self, reduced: G.Reduced) -> dict:

@@ -401,7 +401,9 @@ class CondensationBase(Reducer):
             val = ev._val_tuple(args.eval_model)
             cfg = M.TrainConfig(epochs=args.eval_epochs,
                                 lr=args.lr or 0.01, weight_decay=5e-4,
-                                metric=args.metric)
+                                metric=args.metric,
+                                seg=100 if jax.default_backend() == "tpu"
+                                else 0)
             _, bv, _ = M.fit_with_val(
                 model, jax.random.key(args.seed + s),
                 train=(tx, tadj, ty, None), val=val, cfg=cfg)
