@@ -24,6 +24,9 @@ def main():
                            threshold=args.threshold,
                            attack=args.attack)
     evaluator = Evaluator(data, args)
+    if args.dist_devices > 1:
+        from graphslim_tpu.dist import make_mesh
+        evaluator.enable_distributed(make_mesh(args.dist_devices))
     (mean, std), _ = evaluator.evaluate(reduced, args.eval_model,
                                         verbose=args.verbose)
     print(f"{args.method} on {args.dataset} r={args.reduction_rate} "

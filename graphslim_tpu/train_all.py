@@ -41,6 +41,11 @@ def run(args: Args):
         int((reduced.dense_adj() != 0).sum()) if reduced.adj is not None
         else reduced.n_syn))
     evaluator = Evaluator(graph, args)
+    if args.dist_devices > 1:
+        # node-sharded full-graph val/test forwards over the device mesh
+        # (edge-cut partition + ragged halo exchange, dist/spmm.py)
+        from graphslim_tpu.dist import make_mesh
+        evaluator.enable_distributed(make_mesh(args.dist_devices))
     (mean, std), _ = evaluator.evaluate(reduced, args.eval_model,
                                         verbose=args.verbose)
     tracker.log_metrics({"acc_mean": mean, "acc_std": std})
