@@ -73,15 +73,21 @@ def main() -> None:
                      props_of(pe, red.adj, red.feat, red.labels)))
 
     # our methods on the calibrated twin at the same rate
+    import sys
+    import time
+    t0 = time.time()
     for m in ("gcond", "gcondx", "random"):
         args = get_args(["-D", "cora", "-M", m, "-R", str(ns.rate),
-                         "--epochs", str(ns.epochs)])
+                         "--epochs", str(ns.epochs),
+                         "--save_path", "/tmp/graft_props"])
         red = create_reducer(m, ds, args).reduce(ds)
         adj = red.adj
         if adj is not None and hasattr(adj, "ndim") and adj.ndim == 3:
             adj = adj[0]
         rows.append((f"ours {m} (cora twin)",
                      props_of(pe, adj, red.feat, red.labels)))
+        print(f"[{time.time()-t0:6.0f}s] ours {m} done", file=sys.stderr,
+              flush=True)
 
     hdr = "| graph | " + " | ".join(KEYS) + " |"
     sep = "|" + "---|" * (len(KEYS) + 1)

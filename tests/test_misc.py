@@ -98,3 +98,37 @@ def test_run_eval_cli(tmp_path, synth_dataset):
     finally:
         sys.argv = argv
     assert mean > 0.5
+
+
+def test_segmented_fit_bit_identical():
+    """TrainConfig.seg splits the epoch scan into carry-threaded jit
+    segments; results must be bit-identical to the single-program fit
+    (the TPU backend kills single programs executing >~10 s, so the
+    evaluator runs seg=100 there — docs/PERF.md round 3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from graphslim_tpu import models as M
+    from graphslim_tpu.data import load
+    from graphslim_tpu.models.trainer import TrainConfig, _build_fit
+
+    ds = load("synth-small", seed=0)
+    model = M.get_model("GCN", M.ModelConfig(
+        nfeat=ds.n_feat, nhid=16, nclass=ds.nclass))
+    adj = ds.adj_norm()
+    args = (jax.random.key(1), model.init(jax.random.key(0)), ds.feat,
+            adj, ds.labels[jnp.asarray(ds.idx_train)],
+            jnp.asarray(ds.idx_train), ds.feat, adj,
+            ds.labels[jnp.asarray(ds.idx_val)],
+            jnp.asarray(ds.idx_val))
+    ref = None
+    for seg in (0, 7, 100):
+        fit = _build_fit(None, type(model), model.cfg,
+                         TrainConfig(epochs=23, seg=seg))
+        bp, bv, losses = fit(*args)
+        got = (float(bv), np.asarray(losses))
+        if ref is None:
+            ref = got
+        else:
+            assert got[0] == ref[0], (seg, got[0], ref[0])
+            np.testing.assert_array_equal(got[1], ref[1])
