@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from graphslim_tpu.models import nn
 from graphslim_tpu.models.base import GNNModel, aggregate
-from graphslim_tpu.models.zoo import GCN, SGC
+from graphslim_tpu.models.zoo import GCN, SGC, Cheby
 
 
 import functools
@@ -95,23 +95,83 @@ class HoistedGCN(GNNModel):
         return h
 
 
+class HoistedCheby(GNNModel):
+    """Cheby whose FIRST layer's input-side recurrence is pre-applied.
+
+    The zoo's Cheby shares one weight across the K-term recurrence
+    (``single_param=True``), so layer 1 is exactly ``lin(Σ_k T_k(A) X)
+    + b`` — the Chebyshev sum ``Σ_k T_k(A) X`` is a fixed input-side
+    quantity, precomputable once (hops kind='chebsum').  Remaining
+    layers run the recurrence normally.
+    """
+
+    def init(self, key):
+        return Cheby(self.cfg).init(key)
+
+    def _forward(self, params, x, adj, *, training, key):
+        c = self.cfg
+        base = Cheby(c)
+        layers = params["layers"]
+        dks = self._dropout_keys(key, len(layers))
+        p0 = layers[0]
+        h = nn.linear_apply(p0["lin"], x) + p0["b"]
+        if len(layers) == 1:
+            return h
+        if c.with_bn:
+            h = nn.bn_apply(params["bns"][0], h)
+        h = jax.nn.relu(h)
+        h = nn.dropout(dks[0], h, c.dropout, training)
+        for i, p in enumerate(layers[1:], start=1):
+            h = base._cheb_layer(p, h, adj, i)
+            if i != len(layers) - 1:
+                if c.with_bn:
+                    h = nn.bn_apply(params["bns"][i], h)
+                h = jax.nn.relu(h)
+                h = nn.dropout(dks[i], h, c.dropout, training)
+        return h
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _propagate_chebsum(x: jax.Array, adj: Any, K: int) -> jax.Array:
+    """Σ_{k<K} T_k(A) X — the shared-weight Cheby layer-1 input."""
+    tx0 = x
+    out = tx0
+    if K >= 2:
+        tx1 = aggregate(adj, x)
+        out = out + tx1
+        for _ in range(K - 2):
+            tx2 = 2.0 * aggregate(adj, tx1) - tx0
+            out = out + tx2
+            tx0, tx1 = tx1, tx2
+    return out
+
+
 def hoist_plan(model: GNNModel):
     """(hoisted_model, hops, keep_adj) or None when not hoistable.
 
-    Only sound when the input has no dropout before the first linear
-    (true for this zoo's SGC/GCN) and each graph's adjacency is fixed
-    across the training run.
+    ``hops`` is an int (A^hops power propagation) or the tuple
+    ('chebsum', K).  Only sound when the input has no dropout before
+    the first linear (true for this zoo's SGC/GCN/Cheby) and each
+    graph's adjacency is fixed across the training run.
     """
     if isinstance(model, SGC) and model.cfg.ntrans == 1:
         return HoistedSGC(model.cfg), model.cfg.nlayers, False
     if isinstance(model, GCN) and not model.cfg.with_bn:
         return HoistedGCN(model.cfg), 1, True
+    if isinstance(model, Cheby) and not model.cfg.with_bn:
+        return HoistedCheby(model.cfg), ("chebsum", Cheby.K), True
     return None
 
 
-def hoist_batch(batch: tuple, hops: int, keep_adj: bool) -> tuple:
+def hoist_batch(batch: tuple, hops, keep_adj: bool) -> tuple:
     """Pre-propagate one (x, adj, y, idx) tuple for a hoisted model."""
     x, adj, y, idx = batch
+    if isinstance(hops, tuple) and hops[0] == "chebsum":
+        if adj is None:
+            # identity adjacency: every T_k(I) X == X
+            return x * float(hops[1]), None, y, idx
+        x_pre = _propagate_chebsum(x, adj, hops[1])
+        return x_pre, (adj if keep_adj else None), y, idx
     if adj is None:
         # identity adjacency: A^k X = X; augment with ones only
         x_pre = jnp.concatenate(

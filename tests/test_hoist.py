@@ -63,3 +63,32 @@ def test_evaluator_with_hoisting_matches(tmp_path, synth_dataset):
     for mt in ("GCN", "SGC"):
         (mean, _), _ = Evaluator(ds, args).evaluate(red, mt)
         assert mean > 0.6, (mt, mean)
+
+
+def test_hoisted_cheby_exact(synth_dataset):
+    """Shared-weight Cheby layer 1 == lin(Σ_k T_k(A) X) + b, so the
+    Chebyshev-sum input is exactly hoistable (round 3)."""
+    import jax
+    import numpy as np
+    from graphslim_tpu import models as M
+    from graphslim_tpu.models.hoist import hoist_batch, hoist_plan
+
+    ds = synth_dataset
+    model = M.get_model("Cheby", M.ModelConfig(
+        nfeat=ds.n_feat, nhid=32, nclass=ds.nclass, dropout=0.0))
+    p = model.init(jax.random.key(0))
+    adj = ds.adj_norm()
+    out_plain = np.asarray(model.apply(p, ds.feat, adj))
+    hm, hops, keep = hoist_plan(model)
+    assert hops == ("chebsum", 2)
+    x_pre, adj_h, _, _ = hoist_batch((ds.feat, adj, None, None), hops,
+                                     keep)
+    out_h = np.asarray(hm.apply(p, x_pre, adj_h))
+    np.testing.assert_allclose(out_plain, out_h, rtol=1e-5, atol=1e-5)
+    # identity-adjacency branch: every T_k(I) X == X
+    out_plain_i = np.asarray(model.apply(p, ds.feat, None))
+    x_pre_i, adj_i, _, _ = hoist_batch((ds.feat, None, None, None),
+                                       hops, keep)
+    np.testing.assert_allclose(
+        out_plain_i, np.asarray(hm.apply(p, x_pre_i, adj_i)),
+        rtol=1e-5, atol=1e-5)
