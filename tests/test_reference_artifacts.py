@@ -93,3 +93,29 @@ def test_property_evaluator_on_reference_artifacts():
     # near-dense weighted graph: high clustering, homophily ≈ chance
     # (1/7 ≈ 0.14) because every class pair is connected
     assert props["homophily"] < 0.5
+
+
+def test_torch_artifact_roundtrip(tmp_path):
+    """compat.to_torch -> torch.save -> load_torch_artifact closes the
+    interop loop for clean archives (the salvage path is exercised by
+    the corrupted reference files above)."""
+    import torch
+    import jax.numpy as jnp
+
+    from graphslim_tpu import graph as G
+
+    feat = jnp.asarray(np.eye(4, dtype=np.float32))
+    adj = jnp.asarray([[0, 1, 0, 0], [1, 0, 1, 0],
+                       [0, 1, 0, 1], [0, 0, 1, 0]], dtype=jnp.float32)
+    labels = jnp.asarray([0, 1, 0, 1], dtype=jnp.int32)
+    red = G.Reduced(feat=feat, adj=adj, labels=labels)
+    blob = compat.to_torch(red)
+    p = tmp_path / "y.pt"
+    torch.save(blob["y"], str(p))
+    got = compat.load_torch_artifact(str(p))
+    np.testing.assert_array_equal(got, np.asarray(labels))
+    # dense adjacency tensor round-trip
+    p2 = tmp_path / "adj.pt"
+    torch.save(torch.from_numpy(np.asarray(adj)), str(p2))
+    np.testing.assert_allclose(compat.load_torch_artifact(str(p2)),
+                               np.asarray(adj))
