@@ -40,7 +40,8 @@ class EllAdj:
     """
 
     def __init__(self, buckets, inv_perm, heavy_row, heavy_col,
-                 heavy_val, heavy_rows, n_heavy: int, n_rows: int):
+                 heavy_val, heavy_rows, n_heavy: int, n_rows: int,
+                 heavy_splits: tuple = ()):
         self.buckets = tuple(buckets)
         self.inv_perm = inv_perm
         self.heavy_row = heavy_row
@@ -49,6 +50,12 @@ class EllAdj:
         self.heavy_rows = heavy_rows   # [n_heavy] global row ids
         self.n_heavy = n_heavy
         self.n_rows = n_rows
+        # Static (e_lo, e_hi, r_lo, r_hi) chunks of the heavy segment,
+        # () = process whole.  Bounds the [edges, d] gather/segment-sum
+        # working set on huge graphs (reddit twin: a single 17M-slot
+        # f32[·,602] buffer is 43 GB > HBM); chunks are row-disjoint
+        # consecutive ranges so outputs concatenate in heavy-row order.
+        self.heavy_splits = tuple(heavy_splits)
 
     @property
     def nnz(self) -> int:
@@ -62,7 +69,7 @@ class EllAdj:
     def tree_flatten(self):
         children = (self.buckets, self.inv_perm, self.heavy_row,
                     self.heavy_col, self.heavy_val, self.heavy_rows)
-        return children, (self.n_heavy, self.n_rows)
+        return children, (self.n_heavy, self.n_rows, self.heavy_splits)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -73,8 +80,16 @@ jax.tree_util.register_pytree_node_class(EllAdj)
 
 
 def build_ell(indptr: np.ndarray, indices: np.ndarray,
-              values: Optional[np.ndarray], cap: int = 256) -> EllAdj:
-    """Host-side layout build from CSR."""
+              values: Optional[np.ndarray], cap: int = 256,
+              max_slots: int = 2_000_000) -> EllAdj:
+    """Host-side layout build from CSR.
+
+    ``max_slots`` caps the per-part gather working set (slots ≈ padded
+    edges): buckets larger than it are split row-wise and the heavy
+    segment gets static execution chunks, so one SpMM never materializes
+    more than ``max_slots × d`` gathered floats at once (2M slots ×
+    d=602 ≈ 4.8 GB — reddit-twin scale fits one chip's HBM).
+    """
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
     n = indptr.shape[0] - 1
@@ -94,21 +109,25 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray,
     prev = 0
     for K in widths:
         lo = prev
-        rows = np.flatnonzero((deg > lo) & (deg <= K))
+        rows_all = np.flatnonzero((deg > lo) & (deg <= K))
         prev = K
-        if rows.size == 0:
+        if rows_all.size == 0:
             continue
-        slot = np.arange(K)[None, :]
-        pos = indptr[rows][:, None] + np.minimum(
-            slot, np.maximum(deg[rows][:, None] - 1, 0))
-        mask = slot < deg[rows][:, None]
-        idx = np.where(mask, indices[pos], 0).astype(np.int32)
-        val = np.where(mask, values[pos], 0.0).astype(np.float32)
-        buckets.append(EllBucket(jnp.asarray(idx), jnp.asarray(val),
-                                 jnp.asarray(rows.astype(np.int32))))
-        segments.append(rows)
+        rows_per_part = max(max_slots // K, 1)
+        for p0 in range(0, rows_all.size, rows_per_part):
+            rows = rows_all[p0:p0 + rows_per_part]
+            slot = np.arange(K)[None, :]
+            pos = indptr[rows][:, None] + np.minimum(
+                slot, np.maximum(deg[rows][:, None] - 1, 0))
+            mask = slot < deg[rows][:, None]
+            idx = np.where(mask, indices[pos], 0).astype(np.int32)
+            val = np.where(mask, values[pos], 0.0).astype(np.float32)
+            buckets.append(EllBucket(jnp.asarray(idx), jnp.asarray(val),
+                                     jnp.asarray(rows.astype(np.int32))))
+            segments.append(rows)
 
     heavy_rows = np.flatnonzero(deg > cap)
+    heavy_splits: tuple = ()
     if heavy_rows.size:
         hdeg = deg[heavy_rows]
         hr = np.repeat(np.arange(heavy_rows.size, dtype=np.int32), hdeg)
@@ -121,6 +140,19 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray,
         heavy_val = jnp.asarray(values[pos])
         heavy_rows_g = jnp.asarray(heavy_rows.astype(np.int32))
         segments.append(heavy_rows)
+        total_e = int(hdeg.sum())
+        if total_e > max_slots:
+            # static row-disjoint chunks with ≤ max_slots edges each
+            edge_end = np.cumsum(hdeg)          # end edge of each row
+            splits, r_lo, e_lo = [], 0, 0
+            while r_lo < heavy_rows.size:
+                r_hi = int(np.searchsorted(edge_end, e_lo + max_slots,
+                                           side="right"))
+                r_hi = max(r_hi, r_lo + 1)      # ≥1 row per chunk
+                e_hi = int(edge_end[r_hi - 1])
+                splits.append((e_lo, e_hi, r_lo, r_hi))
+                r_lo, e_lo = r_hi, e_hi
+            heavy_splits = tuple(splits)
     else:
         heavy_row = heavy_col = heavy_val = heavy_rows_g = None
 
@@ -135,7 +167,8 @@ def build_ell(indptr: np.ndarray, indices: np.ndarray,
                                                                jnp.int32),
                   heavy_row=heavy_row, heavy_col=heavy_col,
                   heavy_val=heavy_val, heavy_rows=heavy_rows_g,
-                  n_heavy=int(heavy_rows.size), n_rows=n)
+                  n_heavy=int(heavy_rows.size), n_rows=n,
+                  heavy_splits=heavy_splits)
 
 
 def spmm_ell(ell: EllAdj, x: jax.Array) -> jax.Array:
@@ -145,11 +178,14 @@ def spmm_ell(ell: EllAdj, x: jax.Array) -> jax.Array:
         g = jnp.take(x, b.idx, axis=0)              # [n_b, K, d]
         parts.append(jnp.einsum("nk,nkd->nd", b.val.astype(x.dtype), g))
     if ell.heavy_col is not None:
-        g = jnp.take(x, ell.heavy_col, axis=0) * \
-            ell.heavy_val[:, None].astype(x.dtype)
-        parts.append(jax.ops.segment_sum(
-            g, ell.heavy_row, num_segments=ell.n_heavy,
-            indices_are_sorted=True))
+        for (e_lo, e_hi, r_lo, r_hi) in (ell.heavy_splits
+                                         or ((0, ell.heavy_col.shape[0],
+                                              0, ell.n_heavy),)):
+            g = jnp.take(x, ell.heavy_col[e_lo:e_hi], axis=0) * \
+                ell.heavy_val[e_lo:e_hi, None].astype(x.dtype)
+            parts.append(jax.ops.segment_sum(
+                g, ell.heavy_row[e_lo:e_hi] - r_lo,
+                num_segments=r_hi - r_lo, indices_are_sorted=True))
     parts.append(jnp.zeros((1, x.shape[-1]), dtype=x.dtype))
     stacked = jnp.concatenate(parts, axis=0)
     return jnp.take(stacked, ell.inv_perm, axis=0)
@@ -236,22 +272,29 @@ def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
         parts.append(jnp.einsum("nkh,nkhd->nhd", att.astype(feat.dtype), g))
     if ell.heavy_col is not None:
         from graphslim_tpu.kernels.segment import segment_softmax
-        a_d = jnp.take(jnp.take(alpha_dst, ell.heavy_rows, axis=0),
-                       ell.heavy_row, axis=0)              # [E_h, H]
-        gc = jnp.take(comb, ell.heavy_col, axis=0)         # [E_h, H+H*h]
-        a_s = gc[..., :H]
-        g = gc[..., H:].reshape(-1, H, h)
-        s = jax.nn.leaky_relu(a_d + a_s, negative_slope)
-        # exclude zero-valued edges from the denominator, matching the
-        # bucket path's masking (see docstring)
-        s = jnp.where((ell.heavy_val != 0.0)[:, None], s, -1e9)
-        att = segment_softmax(s, ell.heavy_row, ell.n_heavy,
-                              indices_are_sorted=True)
-        att = att * ell.heavy_val[:, None]
-        att = _drop(dks[-1], att)
-        parts.append(jax.ops.segment_sum(
-            g * att[..., None].astype(feat.dtype), ell.heavy_row,
-            num_segments=ell.n_heavy, indices_are_sorted=True))
+        a_d_heavy = jnp.take(alpha_dst, ell.heavy_rows, axis=0)
+        # chunks are row-disjoint, so the per-row softmax is complete
+        # within each chunk
+        for (e_lo, e_hi, r_lo, r_hi) in (ell.heavy_splits
+                                         or ((0, ell.heavy_col.shape[0],
+                                              0, ell.n_heavy),)):
+            hrow = ell.heavy_row[e_lo:e_hi] - r_lo
+            hval = ell.heavy_val[e_lo:e_hi]
+            a_d = jnp.take(a_d_heavy[r_lo:r_hi], hrow, axis=0)
+            gc = jnp.take(comb, ell.heavy_col[e_lo:e_hi], axis=0)
+            a_s = gc[..., :H]
+            g = gc[..., H:].reshape(-1, H, h)
+            s = jax.nn.leaky_relu(a_d + a_s, negative_slope)
+            # exclude zero-valued edges from the denominator, matching
+            # the bucket path's masking (see docstring)
+            s = jnp.where((hval != 0.0)[:, None], s, -1e9)
+            att = segment_softmax(s, hrow, r_hi - r_lo,
+                                  indices_are_sorted=True)
+            att = att * hval[:, None]
+            att = _drop(dks[-1], att)
+            parts.append(jax.ops.segment_sum(
+                g * att[..., None].astype(feat.dtype), hrow,
+                num_segments=r_hi - r_lo, indices_are_sorted=True))
     parts.append(jnp.zeros((1, H, h), dtype=feat.dtype))
     stacked = jnp.concatenate(parts, axis=0)
     # 2-D operand for the inverse-permutation gather too (see above)

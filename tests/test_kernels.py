@@ -185,3 +185,27 @@ def test_pge_pallas_backend_matches_tiling_semantics():
 def dataclasses_replace(cfg, **kw):
     import dataclasses
     return dataclasses.replace(cfg, **kw)
+
+
+def test_ell_slot_cap_split_parity():
+    """max_slots splits buckets and chunks the heavy segment with
+    bit-identical results (single-chip capacity at reddit scale —
+    docs/PERF.md round 3)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from graphslim_tpu import graph as G
+    from graphslim_tpu.kernels.ell import build_ell, spmm_ell
+
+    rng = np.random.default_rng(3)
+    n, d = 500, 12
+    ei = rng.integers(0, n, (2, 6000))
+    adj = G.gcn_norm(G.from_edge_index(ei, n, symmetrize=True))
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    args = (np.asarray(adj.indptr), np.asarray(adj.col),
+            np.asarray(adj.values_or_ones()))
+    whole = np.asarray(spmm_ell(build_ell(*args, cap=8), x))
+    split = build_ell(*args, cap=8, max_slots=64)
+    assert len(split.heavy_splits) > 1 or len(split.buckets) > \
+        len(build_ell(*args, cap=8).buckets)
+    np.testing.assert_array_equal(
+        whole, np.asarray(spmm_ell(split, x)))
