@@ -217,6 +217,45 @@ def load_reference_reduced(root: str, method: str, dataset: str,
                      labels=jnp.asarray(labels.astype(np.int32)))
 
 
+def save_reference_layout(reduced: "G.Reduced", root: str, method: str,
+                          dataset: str, rate: float,
+                          seed: int = 1) -> tuple[str, str]:
+    """Write a reduced graph in the reference's artifact layout.
+
+    Mirrors ``interface/reduced_graph/{method}/
+    {adj,label}_{dataset}_{rate}_{seed}.pt`` (the layout
+    ``vis_graphslim.py:26-117`` reads), so reference-side tooling can
+    consume graphs produced here.  Structure-free methods store the
+    identity like the reference's gcondx artifacts.  Returns the two
+    file paths.
+    """
+    import os
+
+    import torch
+
+    d = os.path.join(root, method)
+    os.makedirs(d, exist_ok=True)
+    labels = np.asarray(reduced.labels)
+    if labels.ndim == 2:
+        labels = labels.argmax(1)
+    n = labels.shape[0]
+    adj = reduced.adj
+    if adj is None:
+        adj_np = np.eye(n, dtype=np.float32)
+    elif isinstance(adj, G.SparseAdj):
+        adj_np = np.asarray(adj.to_dense(), dtype=np.float32)
+    else:
+        adj_np = np.asarray(adj, dtype=np.float32)
+        if adj_np.ndim == 3:
+            adj_np = adj_np[0]
+    adj_p = os.path.join(d, f"adj_{dataset}_{rate}_{seed}.pt")
+    lab_p = os.path.join(d, f"label_{dataset}_{rate}_{seed}.pt")
+    torch.save(torch.from_numpy(np.ascontiguousarray(adj_np)), adj_p)
+    torch.save(torch.from_numpy(
+        np.ascontiguousarray(labels.astype(np.int64))), lab_p)
+    return adj_p, lab_p
+
+
 def from_torch(x, edge_index, y, edge_weight=None,
                name: str = "external") -> tuple:
     """(feat jnp, SparseAdj, labels jnp) from torch tensors."""

@@ -119,3 +119,32 @@ def test_torch_artifact_roundtrip(tmp_path):
     torch.save(torch.from_numpy(np.asarray(adj)), str(p2))
     np.testing.assert_allclose(compat.load_torch_artifact(str(p2)),
                                np.asarray(adj))
+
+
+def test_save_reference_layout_roundtrip(tmp_path):
+    """Bidirectional artifact interop: our writer emits the reference's
+    exact layout and our reader loads it back."""
+    import jax.numpy as jnp
+
+    from graphslim_tpu import graph as G
+
+    labels = jnp.asarray([0, 1, 2, 0, 1, 2], dtype=jnp.int32)
+    adj = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (6, 6)).astype(np.float32))
+    adj = (adj + adj.T) / 2
+    red = G.Reduced(feat=jnp.eye(6), adj=adj, labels=labels)
+    compat.save_reference_layout(red, str(tmp_path), "gcond", "cora",
+                                 0.5)
+    back = compat.load_reference_reduced(str(tmp_path), "gcond", "cora",
+                                         0.5)
+    np.testing.assert_allclose(np.asarray(back.adj), np.asarray(adj),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(back.labels),
+                                  np.asarray(labels))
+    # structure-free: identity adjacency like reference gcondx
+    red2 = G.Reduced(feat=jnp.eye(6), adj=None, labels=labels)
+    compat.save_reference_layout(red2, str(tmp_path), "gcondx", "cora",
+                                 0.5)
+    back2 = compat.load_reference_reduced(str(tmp_path), "gcondx",
+                                          "cora", 0.5)
+    np.testing.assert_allclose(np.asarray(back2.adj), np.eye(6))
