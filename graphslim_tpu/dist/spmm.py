@@ -210,7 +210,8 @@ def shard_spmm_halo(mesh: Mesh, hp: HaloPartition, x: jax.Array,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RaggedHaloPartition:
-    """Halo routing with per-pair exact sizes (no global pair-max pad).
+    """Halo routing with per-pair exact sizes (no global pair-max pad),
+    edges pre-split into **interior** and **boundary** segments.
 
     The padded layout (:class:`HaloPartition`) pads every (src, dst)
     pair to the global max halo ``H`` — one dense pair inflates the
@@ -228,6 +229,16 @@ class RaggedHaloPartition:
 
     Buffer padding is Σ_r max_s sizes[s, (s+r) % S] — per-round max,
     not global pair max, so one dense pair only inflates its own round.
+
+    The interior/boundary split (VERDICT r3 item 1, BASELINE north-star
+    "overlapped with local aggregation"): ``(row_int, col_int, val_int)``
+    are the edges whose column is owned locally — their gather +
+    segment-sum reads only the local feature shard, with **no data
+    dependence on the exchange**, so XLA's latency-hiding scheduler can
+    run it while the all-to-all is in flight.  ``(row_bnd, col_bnd,
+    val_bnd)`` are the cut edges; ``col_bnd`` indexes straight into the
+    round-major receive buffer.  Each list is padded per-shard with
+    ``val = 0`` slots.
     """
 
     base: RowPartition
@@ -236,7 +247,12 @@ class RaggedHaloPartition:
     send_sizes: jax.Array    # [S, S] int32 (sender-major [src, dst])
     out_offsets: jax.Array   # [S, S] int32: round-major remote offsets
     recv_sizes: jax.Array    # [S, S] int32 (receiver-major [dst, src])
-    col_halo: jax.Array      # [S, E_max] int32 into [recv | local] buffer
+    row_int: jax.Array       # [S, Ei] int32 shard-local row
+    col_int: jax.Array       # [S, Ei] int32 shard-local column
+    val_int: jax.Array       # [S, Ei] float32
+    row_bnd: jax.Array       # [S, Eb] int32 shard-local row
+    col_bnd: jax.Array       # [S, Eb] int32 into the receive buffer
+    val_bnd: jax.Array       # [S, Eb] float32
     send_max: int = dataclasses.field(metadata=dict(static=True))
     recv_len: int = dataclasses.field(metadata=dict(static=True))
     # static per-round chunk sizes, len S-1
@@ -245,10 +261,12 @@ class RaggedHaloPartition:
 
 def partition_rows_halo_ragged(adj: G.SparseAdj,
                                n_shards: int) -> RaggedHaloPartition:
-    """Host-side ragged halo routing tables."""
+    """Host-side ragged halo routing tables with interior/boundary split."""
     base = partition_rows(adj, n_shards)
     D, rows_per = n_shards, base.rows_per_shard
     col = np.asarray(base.col)
+    row_l = np.asarray(base.row_local)
+    val = np.asarray(base.val)
     # uniq[d][s]: owner-local rows of shard s referenced by shard d
     uniq: list[list[np.ndarray]] = []
     for d in range(D):
@@ -284,24 +302,44 @@ def partition_rows_halo_ragged(adj: G.SparseAdj,
             if c:
                 send_flat[s, pos:pos + c] = uniq[d][s]
             pos += c
-    col_halo = np.zeros_like(col, dtype=np.int32)
+    # split each shard's edge list into interior (column owned locally)
+    # and boundary (column arrives through the exchange) segments
+    ints, bnds = [], []   # per-shard (row, col, val) triples
     for d in range(D):
         owners = col[d] // rows_per
         local_pos = col[d] % rows_per
-        remap = np.zeros(col.shape[1], dtype=np.int32)
+        m_int = owners == d
+        ints.append((row_l[d][m_int], local_pos[m_int], val[d][m_int]))
+        m_bnd = ~m_int
+        remap = np.zeros(int(m_bnd.sum()), dtype=np.int32)
+        ob, rb, vb = (local_pos[m_bnd], row_l[d][m_bnd], val[d][m_bnd])
+        own_b = owners[m_bnd]
         for s in range(D):
-            m = owners == s
             if s == d:
-                remap[m] = R_len + local_pos[m]
                 continue
+            m = own_b == s
             remap[m] = base_off[(d - s) % D] + np.searchsorted(
-                uniq[d][s], local_pos[m])
-        col_halo[d] = remap
+                uniq[d][s], ob[m])
+        bnds.append((rb, remap, vb))
+    Ei = max(max(len(t[0]) for t in ints), 1)
+    Eb = max(max(len(t[0]) for t in bnds), 1)
+
+    def _pad(triples, width):
+        r = np.zeros((D, width), dtype=np.int32)
+        c = np.zeros((D, width), dtype=np.int32)
+        v = np.zeros((D, width), dtype=np.float32)
+        for d, (rr, cc, vv) in enumerate(triples):
+            m = len(rr)
+            r[d, :m], c[d, :m], v[d, :m] = rr, cc, vv
+        return jnp.asarray(r), jnp.asarray(c), jnp.asarray(v)
+
+    ri, ci, vi = _pad(ints, Ei)
+    rb_, cb, vb_ = _pad(bnds, Eb)
     return RaggedHaloPartition(
         base, jnp.asarray(send_flat), jnp.asarray(in_off),
         jnp.asarray(sizes), jnp.asarray(out_off),
         jnp.asarray(np.ascontiguousarray(sizes.T)),
-        jnp.asarray(col_halo), L_max, int(R_len), round_max)
+        ri, ci, vi, rb_, cb, vb_, L_max, int(R_len), round_max)
 
 
 _RAGGED_A2A_OK: dict = {}
@@ -319,21 +357,40 @@ def _ragged_a2a_supported(mesh: Mesh, axis: str) -> bool:
         from jax._src import core as _core
         if not _core.trace_state_clean():
             return False
-        D = mesh.devices.size
+        D = int(mesh.devices.size)
         try:
-            z = jnp.zeros((D, 1, 1), jnp.float32)
-            o = jnp.zeros((D, 1), jnp.int32)
-            s = jnp.zeros((D, 1), jnp.int32)
+            # Shape-faithful to the production call (ADVICE r3): each
+            # shard passes [D]-length offset/size tables (the op
+            # requires table length divisible by the axis size), and the
+            # probe MOVES ONE REAL ROW PER PAIR — an all-zero-sizes
+            # probe gets dead-code-eliminated and reports support on
+            # backends whose runtime then rejects the op (observed on
+            # XLA:CPU: compile fine, execute 'not supported by
+            # ThunkEmitter').  Every shard sends row d to shard d, which
+            # stores it at output offset = source rank; the result is
+            # checked so the collective cannot be elided.
+            z = jnp.tile(jnp.arange(D, dtype=jnp.float32)[None, :, None],
+                         (D, 1, 1))                       # z[s, d] = d
+            ioff = jnp.tile(jnp.arange(D, dtype=jnp.int32)[None],
+                            (D, 1))                       # chunk d at d
+            ones = jnp.ones((D, D), jnp.int32)
+            ooff = jnp.tile(jnp.arange(D, dtype=jnp.int32)[:, None],
+                            (1, D))                       # land at src
 
-            def probe(zz, oo, ss):
+            def probe(zz, io, oo, ss):
+                out = jnp.zeros((D, 1), jnp.float32)
                 return jax.lax.ragged_all_to_all(
-                    zz[0], jnp.zeros((1, 1), jnp.float32), oo[0],
-                    ss[0], oo[0], ss[0], axis_name=axis)[None]
+                    zz[0], out, io[0], ss[0], oo[0], ss[0],
+                    axis_name=axis)[None]
 
-            jax.block_until_ready(shard_map(
-                probe, mesh=mesh, in_specs=(P(axis),) * 3,
-                out_specs=P(axis))(z, o, s))
-            _RAGGED_A2A_OK[key] = True
+            got = np.asarray(jax.block_until_ready(shard_map(
+                probe, mesh=mesh, in_specs=(P(axis),) * 4,
+                out_specs=P(axis))(z, ioff, ooff, ones)))
+            # shard d receives its own rank from every source s, stored
+            # at offset s: got[d, s] == d
+            want = np.tile(np.arange(D, dtype=np.float32)[:, None, None],
+                           (1, D, 1))
+            _RAGGED_A2A_OK[key] = bool(np.array_equal(got, want))
         except Exception:
             _RAGGED_A2A_OK[key] = False
     return _RAGGED_A2A_OK[key]
@@ -341,9 +398,30 @@ def _ragged_a2a_supported(mesh: Mesh, axis: str) -> bool:
 
 def shard_spmm_halo_ragged(mesh: Mesh, hp: RaggedHaloPartition,
                            x: jax.Array, axis: str = "data",
-                           use_ragged: bool | None = None) -> jax.Array:
-    """Distributed A @ x, boundary rows moved with per-pair exact
-    (ragged-all-to-all) or per-round-max (ppermute rounds) sizes."""
+                           use_ragged: bool | None = None,
+                           padded: bool = False) -> jax.Array:
+    """Distributed A @ x with the boundary exchange **overlapped** with
+    interior aggregation (BASELINE north-star).
+
+    Boundary rows move with per-pair exact (ragged-all-to-all) or
+    per-round-max (ppermute rounds) sizes.  The interior partial sum
+    (edges whose column is owned locally) has no data dependence on the
+    exchange: on TPU, XLA's latency-hiding scheduler lowers the
+    collective to an async start/done pair and schedules the interior
+    gather + segment-sum between them, hiding the ICI latency behind
+    local compute.  Boundary edges are finished from the receive buffer
+    and added in — no ``[recv | local]`` concatenation is ever
+    materialized (that copy alone cost ~rows_per·d per call in the
+    round-3 fused layout).
+
+    ``padded=True`` is the steady-state calling convention: ``x`` is
+    ``[S*rows_per, d]`` and the result stays in that domain.  The
+    convenience pad/crop of the default path are *unsharded* ops on the
+    mesh — the SPMD partitioner turns each into a mesh-wide reshard
+    (measured +280 ms per call at pubmed/8-virtual-dev scale, ~60 % of
+    total; docs/PERF.md round 4) — so multi-layer callers pad once
+    (:meth:`DistAdj.pad_features`) and stay padded across layers.
+    """
     part = hp.base
     rows_per = part.rows_per_shard
     D = part.row_local.shape[0]
@@ -352,10 +430,9 @@ def shard_spmm_halo_ragged(mesh: Mesh, hp: RaggedHaloPartition,
     if use_ragged is None:
         use_ragged = _ragged_a2a_supported(mesh, axis)
 
-    def local(row_l, col_h, val, sflat, ioff, ssz, ooff, rsz, xs):
-        row_l, col_h, val = row_l[0], col_h[0], val[0]
-        send = jnp.take(xs, sflat[0], axis=0)           # [L_max, d]
+    def local(ri, ci, vi, rb, cb, vb, sflat, ioff, ssz, ooff, rsz, xs):
         dfeat = xs.shape[-1]
+        send = jnp.take(xs, sflat[0], axis=0)           # [L_max, d]
         if use_ragged:
             out_buf = jnp.zeros((R_len, dfeat), xs.dtype)
             recv = jax.lax.ragged_all_to_all(
@@ -376,21 +453,31 @@ def shard_spmm_halo_ragged(mesh: Mesh, hp: RaggedHaloPartition,
                 parts.append(jax.lax.ppermute(chunk, axis, perm))
             recv = (jnp.concatenate(parts) if parts
                     else jnp.zeros((R_len, dfeat), xs.dtype))
-        flat = jnp.concatenate([recv, xs])
-        gathered = jnp.take(flat, col_h, axis=0) * val[:, None]
-        return jax.ops.segment_sum(gathered, row_l,
-                                   num_segments=rows_per)[None]
+        # interior: reads only the local shard — overlaps the exchange
+        acc = jax.ops.segment_sum(
+            jnp.take(xs, ci[0], axis=0) * vi[0][:, None], ri[0],
+            num_segments=rows_per)
+        # boundary: consumes the receive buffer once it lands
+        acc = acc + jax.ops.segment_sum(
+            jnp.take(recv, cb[0], axis=0) * vb[0][:, None], rb[0],
+            num_segments=rows_per)
+        return acc[None]
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis),) * 8 + (P(axis),),
+        in_specs=(P(axis),) * 11 + (P(axis),),
         out_specs=P(axis))
+    if padded:
+        out = fn(hp.row_int, hp.col_int, hp.val_int, hp.row_bnd,
+                 hp.col_bnd, hp.val_bnd, hp.send_flat, hp.in_offsets,
+                 hp.send_sizes, hp.out_offsets, hp.recv_sizes, x)
+        return out.reshape(-1, x.shape[-1])
     pad = D * rows_per - x.shape[0]
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, x.shape[-1]), x.dtype)])
-    out = fn(part.row_local, hp.col_halo, part.val, hp.send_flat,
-             hp.in_offsets, hp.send_sizes, hp.out_offsets, hp.recv_sizes,
-             x)
+    out = fn(hp.row_int, hp.col_int, hp.val_int, hp.row_bnd, hp.col_bnd,
+             hp.val_bnd, hp.send_flat, hp.in_offsets, hp.send_sizes,
+             hp.out_offsets, hp.recv_sizes, x)
     return out.reshape(-1, x.shape[-1])[: part.n_rows]
 
 
@@ -435,9 +522,19 @@ class DistAdj:
     evaluator/hoist path unchanged (VERDICT r2 item 5: compose the dist
     layer into evaluation).
 
-    Rows are partitioned by the multilevel edge-cut order; ``matmul``
-    permutes features into partition order, runs the ragged halo SpMM
-    over the mesh, and permutes back — callers keep original node ids.
+    Rows are partitioned by the multilevel edge-cut order.  Two calling
+    conventions:
+
+    * **padded domain** (steady state): features pre-permuted into
+      partition order and padded to ``[S*rows_per, d]`` via
+      :meth:`pad_features`; ``matmul`` recognizes the padded shape and
+      runs the pure shard_map SpMM — no per-call permute/pad/crop.
+      Indices into model outputs are remapped once via
+      :meth:`remap_idx`.  Per-call permute/pad/crop are *unsharded*
+      mesh ops that each cost a mesh-wide reshard (docs/PERF.md r4).
+    * **convenience**: ``matmul`` on an ``[n, d]`` original-order array
+      permutes in, runs, and permutes back — correct everywhere, paying
+      the reshards; fine for one-shot calls.
     """
 
     hp: RaggedHaloPartition
@@ -447,16 +544,70 @@ class DistAdj:
     axis: str = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
 
+    @property
+    def n_padded(self) -> int:
+        p = self.hp.base
+        return p.row_local.shape[0] * p.rows_per_shard
+
+    def pad_features(self, x: jax.Array) -> jax.Array:
+        """Permute rows into partition order and zero-pad to the padded
+        domain ``[S*rows_per, d]`` (do this ONCE per forward, outside
+        the per-layer hot path)."""
+        xo = jnp.take(x, self.order, axis=0)
+        pad = self.n_padded - xo.shape[0]
+        if pad:
+            xo = jnp.concatenate(
+                [xo, jnp.zeros((pad,) + xo.shape[1:], xo.dtype)])
+        return xo
+
+    def remap_idx(self, idx) -> jax.Array:
+        """Original-order node indices → padded-domain row indices."""
+        return jnp.take(self.inv, jnp.asarray(idx))
+
     def matmul(self, x: jax.Array) -> jax.Array:
+        if (x.shape[0] == self.n_padded
+                and self.n_padded != self.hp.base.n_rows):
+            return shard_spmm_halo_ragged(self.mesh, self.hp, x,
+                                          axis=self.axis, padded=True)
         out = shard_spmm_halo_ragged(
             self.mesh, self.hp, jnp.take(x, self.order, axis=0),
             axis=self.axis)
         return jnp.take(out, self.inv, axis=0)
 
+    def padded_view(self) -> "PaddedDistAdj":
+        """View whose ``matmul`` ALWAYS uses the padded domain —
+        unambiguous even when ``n_rows`` divides evenly into shards."""
+        return PaddedDistAdj(self)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PaddedDistAdj:
+    """Padded-domain view of :class:`DistAdj` (see its docstring):
+    ``matmul`` takes and returns ``[S*rows_per, d]`` arrays in partition
+    order with no per-call permute/pad/crop.  Duck-types the ``matmul``
+    contract of ``models.base.aggregate``."""
+
+    base: DistAdj
+
+    @property
+    def nnz(self) -> int:
+        return self.base.nnz
+
+    def matmul(self, x: jax.Array) -> jax.Array:
+        return shard_spmm_halo_ragged(self.base.mesh, self.base.hp, x,
+                                      axis=self.base.axis, padded=True)
+
 
 def build_dist_adj(adj_norm: G.SparseAdj, mesh: Mesh,
                    axis: str = "data") -> DistAdj:
     """Partition a normalized full-graph adjacency over ``mesh``."""
+    # Probe ragged-all-to-all support NOW, while eager: the probe can
+    # only execute outside a trace, and ``DistAdj.matmul`` usually runs
+    # under jit — without this eager warm-up every jitted call would
+    # conservatively fall back to the ppermute rounds even on backends
+    # (TPU) where the ragged exchange is supported.
+    _ragged_a2a_supported(mesh, axis)
     n_shards = int(mesh.devices.size)
     order = edge_cut_order(adj_norm, n_shards)
     a2 = reorder_adj(adj_norm, order)

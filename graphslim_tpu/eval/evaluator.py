@@ -46,11 +46,17 @@ class Evaluator:
         """Opt-in mesh path: full-graph val/test forwards run the ragged
         halo SpMM over ``mesh`` (node-sharded features), so evaluation
         scales past one chip's HBM (VERDICT r2 item 5).  The reduced
-        training graph stays local (it is tiny by construction)."""
+        training graph stays local (it is tiny by construction).
+
+        The whole forward runs in the **padded partition domain**:
+        features are permuted+padded once here, val/test node indices
+        are remapped once, and every layer's ``matmul`` is a pure
+        shard_map — no per-layer mesh-wide reshard (docs/PERF.md r4)."""
         from graphslim_tpu.dist.spmm import build_dist_adj
 
         self._dist_adj = build_dist_adj(
             G.gcn_norm(self.data.adj), mesh, axis=axis)
+        self._dist_feat = self._dist_adj.pad_features(self.data.feat)
 
     # ------------------------------------------------------------------
     def _eval_model(self, model_type: str, nfeat: int):
@@ -96,8 +102,7 @@ class Evaluator:
             adj = G.gcn_norm(d.adj_val)
             return (d.feat_val, adj, d.labels_val, None)
         adj = self._full_adj(model_type)
-        return (d.feat, adj, d.labels[jnp.asarray(d.idx_val)],
-                jnp.asarray(d.idx_val))
+        return self._full_tuple(adj, d.idx_val)
 
     def _test_tuple(self, model_type: str):
         d = self.data
@@ -105,8 +110,19 @@ class Evaluator:
             adj = G.gcn_norm(d.adj_test)
             return (d.feat_test, adj, d.labels_test, None)
         adj = self._full_adj(model_type)
-        return (d.feat, adj, d.labels[jnp.asarray(d.idx_test)],
-                jnp.asarray(d.idx_test))
+        return self._full_tuple(adj, d.idx_test)
+
+    def _full_tuple(self, adj, idx):
+        """(x, adj, y, idx) for a full-graph forward; on the mesh path
+        the forward runs in the padded partition domain (features
+        pre-permuted+padded, idx remapped, labels untouched)."""
+        d = self.data
+        idx = jnp.asarray(idx)
+        y = d.labels[idx]
+        if self._dist_adj is not None and adj is self._dist_adj:
+            return (self._dist_feat, self._dist_adj.padded_view(), y,
+                    self._dist_adj.remap_idx(idx))
+        return (d.feat, adj, y, idx)
 
     # ------------------------------------------------------------------
     def test(self, reduced: G.Reduced, model_type: str = "GCN",
