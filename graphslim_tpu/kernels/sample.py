@@ -12,6 +12,17 @@ Design (static shapes throughout — XLA requirement):
 * Each hop samples exactly ``fanout`` neighbors per target (uniform with
   replacement when ``deg > fanout``; all neighbors + masked padding when
   ``deg <= fanout``) plus one self slot.
+* **Deliberate divergence from PyG semantics**: sampled slots are
+  rescaled by ``deg/fanout``, making the block aggregation an *unbiased
+  estimator* of the full normalized aggregation (E over keys of the
+  one-hop block sum equals ``A_norm @ x`` exactly — pinned by
+  ``tests/test_kernels.py::TestNeighborSample::
+  test_subsampled_unbiased_estimator``).  PyG's ``NeighborSampler``
+  blocks keep the un-rescaled global weights, so their sampled
+  aggregations are biased low on high-degree rows; at
+  ``fanout >= max_deg`` both agree exactly
+  (``tests/test_models.py::test_forward_blocks_match_full``).  See
+  PARITY.md "sampler" row.
 * A block between level k-1 and k stores only the per-slot weights
   ``[n_t, fanout+1]`` and global source ids ``[n_t, fanout+1]``; the sources
   of row ``i`` occupy contiguous slots, so aggregation is a dense

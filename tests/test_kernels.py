@@ -92,6 +92,48 @@ class TestNeighborSample:
         assert block.weights[1].shape == (2, 3)
         assert block.node_ids[0].shape == (2 * 3 * 3,)
 
+    def test_subsampled_unbiased_estimator(self, rng):
+        """Small-fanout sampling with the deg/fanout rescale is an
+        UNBIASED estimator of the full normalized aggregation: the mean
+        of the one-hop block aggregation over many keys converges to
+        A_norm @ x (VERDICT r3 item 4; the deliberate divergence from
+        PyG's un-rescaled sampled blocks is documented in
+        kernels/sample.py and PARITY.md)."""
+        n, d, fanout, n_keys = 24, 5, 2, 4000
+        src = np.arange(n)
+        ei = np.concatenate([
+            np.stack([src, (src + 1) % n]),
+            np.stack([src, (src + 5) % n]),
+            rng.integers(0, n, size=(2, 40)),
+        ], axis=1)
+        norm = G.gcn_norm(G.from_edge_index(ei, n, symmetrize=True))
+        diag = np.asarray(norm.row) == np.asarray(norm.col)
+        self_vals = np.zeros(n, dtype=np.float32)
+        self_vals[np.asarray(norm.row)[diag]] = np.asarray(norm.val)[diag]
+        off = ~diag
+        offadj = G.from_edge_index(
+            np.stack([np.asarray(norm.row)[off],
+                      np.asarray(norm.col)[off]]), n,
+            edge_weight=np.asarray(norm.val)[off], dedup=False)
+        assert int(np.diff(np.asarray(offadj.indptr)).max()) > fanout
+        x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+        targets = jnp.arange(n, dtype=jnp.int32)
+
+        def one(key):
+            block = neighbor_sample_block(
+                key, offadj.indptr, offadj.col, offadj.values_or_ones(),
+                jnp.asarray(self_vals), targets, fanouts=[fanout])
+            srcs, w = block.node_ids[0], block.weights[0]
+            g = jnp.take(x, srcs.reshape(n, -1), axis=0)
+            return jnp.sum(g * w[..., None], axis=1)
+
+        keys = jax.random.split(jax.random.key(7), n_keys)
+        mean = np.asarray(jnp.mean(jax.lax.map(one, keys, batch_size=200),
+                                   axis=0))
+        want = np.asarray(norm.to_dense()) @ np.asarray(x)
+        # CLT tolerance: per-entry std/sqrt(n_keys) is small but nonzero
+        np.testing.assert_allclose(mean, want, atol=0.05, rtol=0.05)
+
 
 # ---------------------------------------------------------------------------
 # Fused Pallas PGE pair-scoring kernel (interpret mode on CPU)
