@@ -148,6 +148,11 @@ def _salvage_mangled_pt(path: str) -> np.ndarray:
     if j < 0:
         raise SalvageError(f"{path}: no data/0 entry")
     hdr = data.rfind(b"PK\x03\x04", 0, j)
+    if hdr < 0:
+        # a 'data/0' substring with no preceding local-file header is
+        # not a torch archive — without this guard the header fields
+        # would be parsed from data[25:29] garbage (ADVICE r3)
+        raise SalvageError(f"{path}: no local header before data/0")
     nlen, elen = struct.unpack("<HH", data[hdr + 26:hdr + 30])
     start = hdr + 30 + nlen + elen
     # end anchor: local header of the 'version' member that follows the

@@ -275,9 +275,15 @@ def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
         a_d_heavy = jnp.take(alpha_dst, ell.heavy_rows, axis=0)
         # chunks are row-disjoint, so the per-row softmax is complete
         # within each chunk
-        for (e_lo, e_hi, r_lo, r_hi) in (ell.heavy_splits
-                                         or ((0, ell.heavy_col.shape[0],
-                                              0, ell.n_heavy),)):
+        splits = (ell.heavy_splits
+                  or ((0, ell.heavy_col.shape[0], 0, ell.n_heavy),))
+        # one dropout key per heavy chunk: equal-sized chunks drawing
+        # from a shared key would sample identical masks (ADVICE r3)
+        if dks[-1] is not None:
+            hks = list(jax.random.split(dks[-1], len(splits)))
+        else:
+            hks = [None] * len(splits)
+        for ci, (e_lo, e_hi, r_lo, r_hi) in enumerate(splits):
             hrow = ell.heavy_row[e_lo:e_hi] - r_lo
             hval = ell.heavy_val[e_lo:e_hi]
             a_d = jnp.take(a_d_heavy[r_lo:r_hi], hrow, axis=0)
@@ -291,7 +297,7 @@ def attention_ell(ell: EllAdj, alpha_dst: jax.Array, alpha_src: jax.Array,
             att = segment_softmax(s, hrow, r_hi - r_lo,
                                   indices_are_sorted=True)
             att = att * hval[:, None]
-            att = _drop(dks[-1], att)
+            att = _drop(hks[ci], att)
             parts.append(jax.ops.segment_sum(
                 g * att[..., None].astype(feat.dtype), hrow,
                 num_segments=r_hi - r_lo, indices_are_sorted=True))

@@ -47,8 +47,13 @@ class GAT(GNNModel):
             # ELL buckets (docs/PERF.md "edge softmax" measurement).
             # Inference with wide heads is bytes-bound in the message
             # gather (rows > ~1 KB): bf16 messages measured 1.5x faster
-            # at h=32 on chip (155.4 -> 103.4 ms, round 3).  Scores and
-            # softmax stay f32; training keeps f32 end-to-end.
+            # at h=32 on chip (155.4 -> 103.4 ms, round 3).  The
+            # per-edge source logits ride the combined gather, so on
+            # this path they are rounded to bf16 too (the destination
+            # logits and the softmax itself stay f32 — ~8 mantissa bits
+            # on half the logit sum; eval parity pinned by
+            # tests/test_models.py::test_gat_bf16_inference_parity).
+            # Training keeps f32 end-to-end.
             mfeat = (feat.astype(jnp.bfloat16)
                      if (not training and h >= 16) else feat)
             out = attention_ell(adj, alpha_dst, alpha_src, mfeat,

@@ -221,3 +221,22 @@ def test_gat_ell_grads_finite(synth_dataset):
     g = jax.grad(loss)(params)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_gat_bf16_inference_parity(synth_dataset):
+    """The wide-head inference fast path (bf16 combined gather — the
+    per-edge source logits ride it and are rounded to bf16 too, see
+    models/gat.py) must agree with the f32 edge-list path: same argmax
+    predictions and logits within bf16 rounding."""
+    ds = synth_dataset
+    cfg = M.ModelConfig(nfeat=ds.n_feat, nhid=256, nclass=ds.nclass,
+                        nheads=8)          # h = 32 >= 16: bf16 path on
+    model = M.get_model("GAT", cfg)
+    params = model.init(jax.random.key(0))
+    ell = ds.adj_norm_ell()
+    sp = ds.adj_norm()
+    out_bf = np.asarray(model.apply(params, ds.feat, ell))   # bf16 path
+    out_f32 = np.asarray(model.apply(params, ds.feat, sp))   # f32 path
+    agree = (out_bf.argmax(1) == out_f32.argmax(1)).mean()
+    assert agree >= 0.99, agree
+    np.testing.assert_allclose(out_bf, out_f32, rtol=0.05, atol=0.05)
