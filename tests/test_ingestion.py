@@ -66,3 +66,50 @@ def test_reduce_on_ingested_files(tmp_path, method):
     assert np.isfinite(np.asarray(red.feat)).all()
     (mean, _), _ = Evaluator(ds, args).evaluate(red, "GCN")
     assert mean > 0.5, (method, mean)
+
+
+def test_planetoid_raw_format(tmp_path):
+    """The Planetoid ind.* pickle parser reconstructs features/labels in
+    node order through the test.index permutation AND the isolated-node
+    (citeseer) zero-fill, from a fixture written in the real format
+    (reference Planetoid branch, `dataset/loader.py:61`; VERDICT r3
+    item 7)."""
+    from graphslim_tpu.data import load
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "raw-planetoid")
+    ds = load("cora", data_dir=fdir, split="fixed", seed=0)
+    want_feat = np.load(os.path.join(fdir, "expected_feat.npy"))
+    want_lab = np.load(os.path.join(fdir, "expected_labels.npy"))
+    want_test = np.load(os.path.join(fdir, "expected_test.npy"))
+    # spec transform is row_norm — undo by comparing normalized oracle
+    norms = np.linalg.norm(want_feat, axis=1, keepdims=True)
+    want_norm = want_feat / np.maximum(norms, 1e-12)
+    np.testing.assert_allclose(np.asarray(ds.feat), want_norm,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ds.labels), want_lab)
+    np.testing.assert_array_equal(np.asarray(ds.idx_test), want_test)
+    # standard split: first len(y) nodes train
+    np.testing.assert_array_equal(np.asarray(ds.idx_train), np.arange(9))
+    assert ds.adj.nnz > 0
+
+
+def test_ogb_raw_format():
+    """The OGB node-prop csv.gz parser (edge/node-feat/node-label +
+    split/<scheme>) loads a fixture written in the real layout
+    (reference PygNodePropPredDataset branch, `dataset/loader.py:67`)."""
+    from graphslim_tpu.data import load
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures", "raw-ogb")
+    ds = load("ogbn-products", data_dir=fdir, seed=0)
+    want_feat = np.load(os.path.join(fdir, "expected_feat.npy"))
+    want_lab = np.load(os.path.join(fdir, "expected_labels.npy"))
+    want_tr = np.load(os.path.join(fdir, "expected_train.npy"))
+    # products spec standardizes on train stats — undo via the oracle
+    mu = want_feat[want_tr].mean(0)
+    sd = np.maximum(want_feat[want_tr].std(0), 1e-12)
+    want_norm = (want_feat - mu) / sd
+    np.testing.assert_allclose(np.asarray(ds.feat), want_norm,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ds.labels), want_lab)
+    np.testing.assert_array_equal(np.asarray(ds.idx_train), want_tr)
