@@ -41,6 +41,8 @@ class Evaluator:
         self.data = data
         self.args = args
         self._dist_adj = None
+        self._dist_val = None
+        self._dist_test = None
 
     def enable_distributed(self, mesh, axis: str = "data") -> None:
         """Opt-in mesh path: full-graph val/test forwards run the ragged
@@ -51,9 +53,30 @@ class Evaluator:
         The whole forward runs in the **padded partition domain**:
         features are permuted+padded once here, val/test node indices
         are remapped once, and every layer's ``matmul`` is a pure
-        shard_map — no per-layer mesh-wide reshard (docs/PERF.md r4)."""
+        shard_map — no per-layer mesh-wide reshard (docs/PERF.md r4).
+
+        Inductive datasets (the reference's reddit/flickr/yelp/amazon
+        protocol) shard their val/test SUBGRAPH forwards the same way —
+        each subgraph gets its own edge-cut partition."""
         from graphslim_tpu.dist.spmm import build_dist_adj
 
+        d = self.data
+        if d.setting == "ind":
+            # subgraphs smaller than a few rows per shard stay local
+            min_n = 2 * int(mesh.devices.size)
+            if d.adj_val.n_rows >= min_n and d.adj_val.nnz > 0:
+                self._dist_val = build_dist_adj(
+                    G.gcn_norm(d.adj_val), mesh, axis=axis)
+                self._dist_val_feat = self._dist_val.pad_features(
+                    d.feat_val)
+            if d.adj_test.n_rows >= min_n and d.adj_test.nnz > 0:
+                self._dist_test = build_dist_adj(
+                    G.gcn_norm(d.adj_test), mesh, axis=axis)
+                self._dist_test_feat = self._dist_test.pad_features(
+                    d.feat_test)
+                # marker so chunk=1 sequential-seed logic engages
+                self._dist_adj = self._dist_test
+            return
         self._dist_adj = build_dist_adj(
             G.gcn_norm(self.data.adj), mesh, axis=axis)
         self._dist_feat = self._dist_adj.pad_features(self.data.feat)
@@ -99,6 +122,13 @@ class Evaluator:
     def _val_tuple(self, model_type: str):
         d = self.data
         if d.setting == "ind":
+            if self._dist_val is not None and model_type != "GAT":
+                # padded-domain subgraph forward; idx = the inverse
+                # permutation (all real rows, original order)
+                da = self._dist_val
+                return (self._dist_val_feat, da.padded_view(),
+                        d.labels_val,
+                        da.remap_idx(jnp.arange(d.feat_val.shape[0])))
             adj = G.gcn_norm(d.adj_val)
             return (d.feat_val, adj, d.labels_val, None)
         adj = self._full_adj(model_type)
@@ -107,6 +137,11 @@ class Evaluator:
     def _test_tuple(self, model_type: str):
         d = self.data
         if d.setting == "ind":
+            if self._dist_test is not None and model_type != "GAT":
+                da = self._dist_test
+                return (self._dist_test_feat, da.padded_view(),
+                        d.labels_test,
+                        da.remap_idx(jnp.arange(d.feat_test.shape[0])))
             adj = G.gcn_norm(d.adj_test)
             return (d.feat_test, adj, d.labels_test, None)
         adj = self._full_adj(model_type)

@@ -227,3 +227,29 @@ def test_sharded_feature_matching_matches_replicated(tmp_path,
     l_shd = float(m_shd(model_params, feat_syn, adj_norm, key))
     assert np.isfinite(l_rep) and np.isfinite(l_shd)
     np.testing.assert_allclose(l_shd, l_rep, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_evaluator_mesh_path_inductive(mesh):
+    """Inductive datasets shard their val/test SUBGRAPH forwards
+    (reference reddit/flickr protocol): the mesh path must reproduce the
+    local accuracies exactly, as in the transductive case."""
+    from graphslim_tpu.config import Args, finalize
+    from graphslim_tpu.data import load
+    from graphslim_tpu.eval.evaluator import Evaluator
+    from graphslim_tpu.reduce import create_reducer
+
+    ds = load("synth-ind-small", setting="ind", split="random", seed=0)
+    args = finalize(
+        Args(dataset="synth-ind-small", method="random",
+             reduction_rate=0.5, eval_epochs=30, run_eval=2),
+        explicit={"eval_epochs", "run_eval"})
+    red = create_reducer("random", ds, args).reduce(ds)
+    for mt in ("SGC", "GCN"):
+        (m0, s0), _ = Evaluator(ds, args).evaluate(red, mt)
+        ev = Evaluator(ds, args)
+        ev.enable_distributed(mesh)
+        assert ev._dist_test is not None
+        (m1, s1), _ = ev.evaluate(red, mt)
+        assert abs(m0 - m1) < 1e-6, (mt, m0, m1)
+        assert abs(s0 - s1) < 1e-6, (mt, s0, s1)
