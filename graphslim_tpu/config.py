@@ -88,6 +88,10 @@ class Args:
     depth: int = 2
     balance_alpha: int = 1
     beta: float = 0.1
+    # GDEM large-graph eigensolver: auto | host (ARPACK) | device
+    # (Chebyshev-filtered subspace iteration on the accelerator,
+    # residual-gated with host fallback; reduce/gdem._eigsh_smallest)
+    eigen_backend: str = "auto"
     coarsen_strategy: str = "greedy"
     # proximity-measure override for the matching coarseners (reference
     # get_proximity_measure names: heavy_edge, heavy_edge_degree,
