@@ -428,7 +428,16 @@ def shard_spmm_halo_ragged(mesh: Mesh, hp: RaggedHaloPartition,
     R_len = hp.recv_len
     round_max = hp.round_max
     if use_ragged is None:
-        use_ragged = _ragged_a2a_supported(mesh, axis)
+        # Overlap-first default (benchmark/probe_overlap_aot.py, compiled
+        # v5e 2x4 schedule): current XLA lowers ragged-all-to-all
+        # SYNCHRONOUSLY, while the ppermute rounds decompose into async
+        # collective-permute-start/done pairs with the interior
+        # aggregation scheduled inside the window — the ppermute rounds
+        # (still driven by the ragged per-round-max tables) are the
+        # exchange that actually overlaps.  Opt into the bytes-exact
+        # wire format with use_ragged=True; revisit when XLA grows
+        # async ragged-all-to-all.
+        use_ragged = False
 
     def local(ri, ci, vi, rb, cb, vb, sflat, ioff, ssz, ooff, rsz, xs):
         dfeat = xs.shape[-1]

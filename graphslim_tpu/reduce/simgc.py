@@ -33,7 +33,14 @@ log = logging.getLogger("graphslim_tpu")
 class SimGC(CondensationBase):
     def _train_teacher(self, data, verbose):
         args = self.args
-        if data.name in ("cora", "citeseer", "synth-small"):
+        # reference branches on name ("cora"/"citeseer" → shallow clean
+        # teacher, else the reddit-style deep BN teacher,
+        # simgc.py:29-50); synthetic twins follow the SIZE class they
+        # mimic (a 900-node twin belongs with cora/citeseer, not with
+        # the deep-BN large-graph teacher)
+        if (data.name in ("cora", "citeseer")
+                or (data.name.startswith("synth")
+                    and data.n_nodes <= 5000)):
             cfg = M.ModelConfig(nfeat=self.d, nhid=args.hidden,
                                 nclass=data.nclass, nlayers=args.nlayers,
                                 dropout=0.0, ntrans=2)
