@@ -13,6 +13,10 @@ real datasets load with zero code changes the day they are mounted
 * **OGB node-prop raw layout** (reference ``PygNodePropPredDataset``,
   ``loader.py:67``): ``raw/{edge,node-feat,node-label}.csv.gz`` +
   ``split/*/{train,valid,test}.csv.gz``.
+* **gnn-benchmark npz** (what PyG's ``CitationFull``/``Coauthor``/
+  ``Amazon`` download for cora_ml/dblp/cs/physics/photo/computers,
+  reference ``loader.py:57-64``): one ``{name}.npz`` with CSR-keyed
+  ``adj_{data,indices,indptr,shape}`` + ``attr_*`` + ``labels``.
 * **Generic npz**: one ``{name}.npz`` with keys ``edge_index``, ``feat``,
   ``labels`` and optional ``idx_train/idx_val/idx_test``.
 """
@@ -163,8 +167,38 @@ def _load_ogb(root: str):
     return edge_index, feat, labels, role
 
 
+def _load_gnn_benchmark(path: str):
+    """Parse the gnn-benchmark npz schema (Bojchevski & Günnemann's
+    format, served by PyG for CitationFull / Coauthor / Amazon): sparse
+    CSR adjacency and attributes as ``{adj,attr}_{data,indices,indptr,
+    shape}`` plus dense ``labels``.  Attributes may also be dense
+    (``attr_matrix``).  No public split ships in these files — the
+    reference applies its random ``splits()``, mirrored by returning
+    ``role=None``."""
+    import scipy.sparse as sp
+
+    # allow_pickle stays False: only array keys are read (class_names
+    # and idx_to_node are object arrays but unused here)
+    data = np.load(path, allow_pickle=False)
+    adj = sp.csr_matrix((data["adj_data"], data["adj_indices"],
+                         data["adj_indptr"]),
+                        shape=tuple(data["adj_shape"])).tocoo()
+    edge_index = np.stack([adj.row, adj.col]).astype(np.int64)
+    if "attr_data" in data:
+        attr = sp.csr_matrix((data["attr_data"], data["attr_indices"],
+                              data["attr_indptr"]),
+                             shape=tuple(data["attr_shape"]))
+        feat = np.asarray(attr.todense(), dtype=np.float32)
+    else:
+        feat = np.asarray(data["attr_matrix"], dtype=np.float32)
+    labels = np.asarray(data["labels"]).astype(np.int32)
+    return edge_index, feat, labels, None
+
+
 def _load_generic(path: str):
     data = np.load(path, allow_pickle=False)
+    if "adj_data" in data:
+        return _load_gnn_benchmark(path)
     edge_index = data["edge_index"].astype(np.int64)
     feat = data["feat"].astype(np.float32)
     labels = data["labels"].astype(np.int32)

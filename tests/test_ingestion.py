@@ -113,3 +113,24 @@ def test_ogb_raw_format():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ds.labels), want_lab)
     np.testing.assert_array_equal(np.asarray(ds.idx_train), want_tr)
+
+
+def test_gnn_benchmark_npz_format():
+    """The gnn-benchmark CSR-keyed npz parser (PyG CitationFull/
+    Coauthor/Amazon raw format — reference `dataset/loader.py:57-64`)
+    loads a fixture written in the real schema."""
+    from graphslim_tpu.data import load
+
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "raw-gnnbench")
+    ds = load("cora_ml", data_dir=fdir, split="random", seed=0)
+    want_feat = np.load(os.path.join(fdir, "expected_feat.npy"))
+    want_lab = np.load(os.path.join(fdir, "expected_labels.npy"))
+    norms = np.linalg.norm(want_feat, axis=1, keepdims=True)
+    want_norm = want_feat / np.maximum(norms, 1e-12)
+    np.testing.assert_allclose(np.asarray(ds.feat), want_norm,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ds.labels), want_lab)
+    assert ds.adj.nnz > 0
+    # no public split in the format: random class-wise split applied
+    assert len(ds.idx_train) > 0 and len(ds.idx_test) > 0
