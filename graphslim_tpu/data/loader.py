@@ -33,7 +33,7 @@ class DatasetSpec:
     split: str = "fixed"  # default split style
     metric: str = "accuracy"
     synth_ok: bool = True  # False → real files required (too large to
-    #                        synthesize: ogbn-products/proteins/papers100M)
+    #                        synthesize: ogbn-proteins/papers100M)
     # Twin-hardness calibration (round 2): tuned so full-graph GCN lands
     # in the reference's published accuracy regime (GC4NC, arXiv
     # 2406.16715: cora≈0.81, citeseer≈0.72, arxiv≈0.71, flickr≈0.47,
@@ -115,9 +115,16 @@ _SPECS = [
     DatasetSpec("cora_ml", 2995, 2879, 7, 5.5, 0.79, "row_norm", "trans",
                 "random", target_acc=0.85, center_scale=0.4,
                 label_noise=0.08),
-    # Web-scale OGB datasets: ingestion-only (reference loader.py:66-68)
+    # ogbn-products: the twin synthesizes (~126M directed edge slots,
+    # a few minutes of host NumPy, disk-cached) — the largest
+    # one-chip scale exercised (3x reddit; docs/PERF.md round 4).
+    # Locality knobs mirror reddit's so edge-cut partitions are
+    # realistic for the dist layer.
     DatasetSpec("ogbn-products", 2_449_029, 100, 47, 51.5, 0.81,
-                "standardize", "trans", synth_ok=False),
+                "standardize", "trans", target_acc=0.76,
+                label_noise=0.15, center_scale=0.5, feature_noise=1.2,
+                locality=0.5, locality_window=0.02),
+    # Web-scale OGB datasets: ingestion-only (reference loader.py:66-68)
     DatasetSpec("ogbn-proteins", 132_534, 8, 2, 597.0, 0.6,
                 "standardize", "trans", synth_ok=False),
     DatasetSpec("ogbn-papers100m", 111_059_956, 128, 172, 29.1, 0.7,

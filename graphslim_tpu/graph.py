@@ -396,11 +396,23 @@ class Dataset:
     def adj_norm_ell(self):
         """Normalized adjacency in the degree-bucketed ELL fast layout
         (scatter-free SpMM — kernels/ell.py); cached, built from the host
-        mirror (no device readbacks)."""
+        mirror (no device readbacks).
+
+        The per-part working-set cap is BYTES-based: ``max_slots`` is
+        sized so one part's gather buffer stays ~4.8 GB at THIS
+        dataset's feature width (the proven reddit-twin budget at
+        d=602 ≈ 2M slots).  A fixed slot count over-chunks
+        narrow-feature graphs — the products twin (d=100) ran 150+
+        dispatch-bound chunks at 31 GB/s before this adapted
+        (docs/PERF.md round 4)."""
         if not hasattr(self, "_adj_norm_ell") or self._adj_norm_ell is None:
             from graphslim_tpu.kernels.ell import build_ell
             h = self.adj_norm_host()
-            self._adj_norm_ell = build_ell(h.indptr, h.col, h.val)
+            d = int(self.feat.shape[-1])
+            budget_bytes = 4.8e9
+            max_slots = max(int(budget_bytes / (d * 4)), 2_000_000)
+            self._adj_norm_ell = build_ell(h.indptr, h.col, h.val,
+                                           max_slots=max_slots)
         return self._adj_norm_ell
 
     def train_graph(self) -> tuple[jax.Array, SparseAdj, jax.Array]:
