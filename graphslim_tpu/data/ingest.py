@@ -137,19 +137,44 @@ def _load_ogb(root: str):
     (src,dst per line), ``raw/node-feat.csv.gz``,
     ``raw/node-label.csv.gz``, and the official split under
     ``split/<scheme>/{train,valid,test}.csv.gz`` (scheme varies:
-    time/sales_ranking/species — first one found wins)."""
+    time/sales_ranking — first one found wins).
+
+    csv parsing goes through pandas when importable (OGB's own loader
+    does the same; np.loadtxt tokenizes in Python at ~1M lines/s —
+    hours on products' 123.7M-line edge file) with a loadtxt fallback.
+    Layouts this parser does NOT cover are rejected with a clear error
+    instead of mis-parsing: ogbn-proteins has edge-level features (no
+    ``node-feat.csv.gz``) and a multi-label ``[N, 112]`` label file —
+    flattening that would corrupt nclass and every split downstream.
+    """
 
     def _csv(path, dtype):
-        op = gzip.open if path.endswith(".gz") else open
-        with op(path, "rt") as f:
-            return np.loadtxt(f, delimiter=",", dtype=dtype, ndmin=2)
+        try:
+            import pandas as pd
+
+            return pd.read_csv(path, header=None).to_numpy(dtype=dtype)
+        except ImportError:
+            op = gzip.open if path.endswith(".gz") else open
+            with op(path, "rt") as f:
+                return np.loadtxt(f, delimiter=",", dtype=dtype,
+                                  ndmin=2)
 
     raw = os.path.join(root, "raw")
+    feat_path = os.path.join(raw, "node-feat.csv.gz")
+    if not os.path.exists(feat_path):
+        raise NotImplementedError(
+            f"{root}: OGB layout without node-feat.csv.gz (edge-level "
+            f"features, e.g. ogbn-proteins) is not supported by the "
+            f"csv parser")
     edge = _csv(os.path.join(raw, "edge.csv.gz"), np.int64)
-    feat = _csv(os.path.join(raw, "node-feat.csv.gz"),
-                np.float32)
-    labels = _csv(os.path.join(raw, "node-label.csv.gz"),
-                  np.int64).ravel().astype(np.int32)
+    feat = _csv(feat_path, np.float32)
+    label_mat = _csv(os.path.join(raw, "node-label.csv.gz"), np.int64)
+    if label_mat.ndim == 2 and label_mat.shape[1] > 1:
+        raise NotImplementedError(
+            f"{root}: multi-label node-label file "
+            f"(shape {label_mat.shape}) is not supported by the csv "
+            f"parser")
+    labels = label_mat.ravel().astype(np.int32)
     edge_index = edge.T
     role = None
     for tr in sorted(glob.glob(os.path.join(root, "split", "*",

@@ -610,13 +610,14 @@ class PaddedDistAdj:
 
 def build_dist_adj(adj_norm: G.SparseAdj, mesh: Mesh,
                    axis: str = "data") -> DistAdj:
-    """Partition a normalized full-graph adjacency over ``mesh``."""
-    # Probe ragged-all-to-all support NOW, while eager: the probe can
-    # only execute outside a trace, and ``DistAdj.matmul`` usually runs
-    # under jit — without this eager warm-up every jitted call would
-    # conservatively fall back to the ppermute rounds even on backends
-    # (TPU) where the ragged exchange is supported.
-    _ragged_a2a_supported(mesh, axis)
+    """Partition a normalized full-graph adjacency over ``mesh``.
+
+    Note: the auto exchange choice is the overlapped ppermute rounds
+    (see ``shard_spmm_halo_ragged``), so no support probe runs here.
+    Callers opting into ``use_ragged=True`` under jit should call
+    ``_ragged_a2a_supported(mesh, axis)`` once eagerly themselves —
+    inside a trace the probe cannot execute.
+    """
     n_shards = int(mesh.devices.size)
     order = edge_cut_order(adj_norm, n_shards)
     a2 = reorder_adj(adj_norm, order)

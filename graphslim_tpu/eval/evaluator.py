@@ -74,8 +74,12 @@ class Evaluator:
                     G.gcn_norm(d.adj_test), mesh, axis=axis)
                 self._dist_test_feat = self._dist_test.pad_features(
                     d.feat_test)
-                # marker so chunk=1 sequential-seed logic engages
-                self._dist_adj = self._dist_test
+            # marker so chunk=1 sequential-seed logic engages whenever
+            # EITHER subgraph forward runs shard_map collectives (a
+            # distributed val forward under vmap is exactly the fragile
+            # case the marker guards against)
+            if self._dist_test is not None or self._dist_val is not None:
+                self._dist_adj = self._dist_test or self._dist_val
             return
         self._dist_adj = build_dist_adj(
             G.gcn_norm(self.data.adj), mesh, axis=axis)

@@ -399,16 +399,19 @@ class Dataset:
         mirror (no device readbacks).
 
         The per-part working-set cap is BYTES-based: ``max_slots`` is
-        sized so one part's gather buffer stays ~4.8 GB at THIS
-        dataset's feature width (the proven reddit-twin budget at
-        d=602 ≈ 2M slots).  A fixed slot count over-chunks
-        narrow-feature graphs — the products twin (d=100) ran 150+
-        dispatch-bound chunks at 31 GB/s before this adapted
-        (docs/PERF.md round 4)."""
+        sized so one part's gather buffer stays ~4.8 GB (the proven
+        reddit-twin budget at d=602 ≈ 2M slots).  A fixed slot count
+        over-chunks narrow-feature graphs — the products twin (d=100)
+        ran 150+ dispatch-bound chunks at 31 GB/s before this adapted
+        (docs/PERF.md round 4).  The sizing width is
+        ``max(d, 256)`` because the SAME layout aggregates
+        hidden-width activations inside GNN layers (evaluator default
+        hidden=256) — sizing by the input width alone would blow the
+        budget by ``nhid/d`` on narrow-feature graphs."""
         if not hasattr(self, "_adj_norm_ell") or self._adj_norm_ell is None:
             from graphslim_tpu.kernels.ell import build_ell
             h = self.adj_norm_host()
-            d = int(self.feat.shape[-1])
+            d = max(int(self.feat.shape[-1]), 256)
             budget_bytes = 4.8e9
             max_slots = max(int(budget_bytes / (d * 4)), 2_000_000)
             self._adj_norm_ell = build_ell(h.indptr, h.col, h.val,
