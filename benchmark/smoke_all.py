@@ -133,7 +133,6 @@ def main():
             floor = HARD_FLOORS.get(get_method_spec(name).family, 0.0)
             if acc < floor:
                 rows[-1] = (name, "LOWACC", dt, acc)
-                status = "LOWACC"
         print(f"{rows[-1][0]:28s} {rows[-1][1]:8s} "
               f"{rows[-1][2]:7.1f}s  acc={rows[-1][3]:.3f}", flush=True)
     n_pass = sum(r[1] == "pass" for r in rows)

@@ -17,6 +17,10 @@ real datasets load with zero code changes the day they are mounted
   ``Amazon`` download for cora_ml/dblp/cs/physics/photo/computers,
   reference ``loader.py:57-64``): one ``{name}.npz`` with CSR-keyed
   ``adj_{data,indices,indptr,shape}`` + ``attr_*`` + ``labels``.
+* **DGL FraudDataset .mat** (``YelpChi.mat``/``Amazon.mat``, reference
+  ``loader.py:72-73`` via ``from_dgl(hetero=False)``): multi-relation
+  ``net_*`` sparse adjacencies unioned + self-loops, sparse
+  ``features``, ``label``.
 * **Generic npz**: one ``{name}.npz`` with keys ``edge_index``, ``feat``,
   ``labels`` and optional ``idx_train/idx_val/idx_test``.
 """
@@ -47,6 +51,12 @@ def try_load(name: str, data_dir: str):
     for r in (root, os.path.join(data_dir, name.replace("-", "_"))):
         if os.path.exists(os.path.join(r, "raw", "edge.csv.gz")):
             return _load_ogb(r)
+    # DGL FraudDataset raw .mat (yelp -> YelpChi.mat, amazon -> Amazon.mat)
+    mats = sorted(glob.glob(os.path.join(root, "*.mat"))
+                  + glob.glob(os.path.join(root, "raw", "*.mat"))
+                  + glob.glob(os.path.join(data_dir, f"{name}.mat")))
+    if mats:
+        return _load_fraud_mat(mats[0])
     generic = os.path.join(data_dir, f"{name}.npz")
     if os.path.exists(generic):
         return _load_generic(generic)
@@ -192,19 +202,18 @@ def _load_ogb(root: str):
     return edge_index, feat, labels, role
 
 
-def _load_gnn_benchmark(path: str):
+def _load_gnn_benchmark(data):
     """Parse the gnn-benchmark npz schema (Bojchevski & Günnemann's
     format, served by PyG for CitationFull / Coauthor / Amazon): sparse
     CSR adjacency and attributes as ``{adj,attr}_{data,indices,indptr,
     shape}`` plus dense ``labels``.  Attributes may also be dense
     (``attr_matrix``).  No public split ships in these files — the
     reference applies its random ``splits()``, mirrored by returning
-    ``role=None``."""
+    ``role=None``.  ``data`` is the already-opened NpzFile (only array
+    keys are read; class_names/idx_to_node are object arrays but
+    unused, so allow_pickle stays False upstream)."""
     import scipy.sparse as sp
 
-    # allow_pickle stays False: only array keys are read (class_names
-    # and idx_to_node are object arrays but unused here)
-    data = np.load(path, allow_pickle=False)
     adj = sp.csr_matrix((data["adj_data"], data["adj_indices"],
                          data["adj_indptr"]),
                         shape=tuple(data["adj_shape"])).tocoo()
@@ -220,10 +229,45 @@ def _load_gnn_benchmark(path: str):
     return edge_index, feat, labels, None
 
 
+def _load_fraud_mat(path: str):
+    """Parse the DGL FraudDataset raw ``.mat`` (``YelpChi.mat`` /
+    ``Amazon.mat`` — what ``FraudDataset`` itself reads).
+
+    The reference loads these via ``FraudDataset`` →
+    ``from_dgl(hetero=False)`` (``dataset/loader.py:72-73``,
+    ``convertor.py:15-58``): the homogeneous view is the **union of
+    every relation's edges plus self-loops**; features and labels come
+    from the node table; no split ships (``splits()`` applies the
+    random class-wise split downstream → ``role=None``).  Relation
+    adjacencies are the ``net_*`` keys (yelp: rur/rtr/rsr, amazon:
+    upu/usu/uvu); ``homo`` is the precomputed union, used only when no
+    ``net_*`` key exists.  An edge present in several relations is
+    deduplicated here (the reference's ``ei2csr`` sums duplicates into
+    weight-k entries instead — a documented divergence: the condensed
+    protocols binarize/renormalize, and multi-relation multiplicity is
+    not part of any registered method's semantics)."""
+    import scipy.sparse as sp
+    from scipy.io import loadmat
+
+    m = loadmat(path)
+    rel_keys = sorted(k for k in m if k.startswith("net_")) or ["homo"]
+    parts = [np.stack(sp.coo_matrix(m[k]).nonzero()) for k in rel_keys]
+    edge_index = np.unique(np.concatenate(parts, axis=1), axis=1)
+    feat = m["features"]
+    feat = np.asarray(feat.todense() if sp.issparse(feat) else feat,
+                      dtype=np.float32)
+    labels = np.asarray(m["label"]).ravel().astype(np.int32)
+    n = feat.shape[0]
+    loops = np.tile(np.arange(n, dtype=np.int64), (2, 1))
+    edge_index = np.concatenate([edge_index.astype(np.int64), loops],
+                                axis=1)
+    return edge_index, feat, labels, None
+
+
 def _load_generic(path: str):
     data = np.load(path, allow_pickle=False)
     if "adj_data" in data:
-        return _load_gnn_benchmark(path)
+        return _load_gnn_benchmark(data)
     edge_index = data["edge_index"].astype(np.int64)
     feat = data["feat"].astype(np.float32)
     labels = data["labels"].astype(np.int32)

@@ -536,10 +536,10 @@ class DistAdj:
 
     * **padded domain** (steady state): features pre-permuted into
       partition order and padded to ``[S*rows_per, d]`` via
-      :meth:`pad_features`; ``matmul`` recognizes the padded shape and
-      runs the pure shard_map SpMM — no per-call permute/pad/crop.
-      Indices into model outputs are remapped once via
-      :meth:`remap_idx`.  Per-call permute/pad/crop are *unsharded*
+      :meth:`pad_features`, then every layer's SpMM goes through
+      :meth:`padded_view` — a pure shard_map with no per-call
+      permute/pad/crop.  Indices into model outputs are remapped once
+      via :meth:`remap_idx`.  Per-call permute/pad/crop are *unsharded*
       mesh ops that each cost a mesh-wide reshard (docs/PERF.md r4).
     * **convenience**: ``matmul`` on an ``[n, d]`` original-order array
       permutes in, runs, and permutes back — correct everywhere, paying
@@ -574,10 +574,16 @@ class DistAdj:
         return jnp.take(self.inv, jnp.asarray(idx))
 
     def matmul(self, x: jax.Array) -> jax.Array:
-        if (x.shape[0] == self.n_padded
-                and self.n_padded != self.hp.base.n_rows):
-            return shard_spmm_halo_ragged(self.mesh, self.hp, x,
-                                          axis=self.axis, padded=True)
+        # Always the original-order convenience path.  Shape-based
+        # dispatch to the padded domain is a trap when n_rows divides
+        # evenly into shards (n_padded == n_rows makes the two layouts
+        # indistinguishable and a padded caller would be silently
+        # re-permuted) — padded-domain callers must use padded_view().
+        if x.shape[0] != self.hp.base.n_rows:
+            raise ValueError(
+                f"DistAdj.matmul expects original-order [n_rows={self.hp.base.n_rows}, d] "
+                f"features, got {x.shape}; for padded-domain "
+                f"[{self.n_padded}, d] arrays use padded_view().matmul")
         out = shard_spmm_halo_ragged(
             self.mesh, self.hp, jnp.take(x, self.order, axis=0),
             axis=self.axis)

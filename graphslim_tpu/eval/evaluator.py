@@ -64,16 +64,17 @@ class Evaluator:
         if d.setting == "ind":
             # subgraphs smaller than a few rows per shard stay local
             min_n = 2 * int(mesh.devices.size)
-            if d.adj_val.n_rows >= min_n and d.adj_val.nnz > 0:
-                self._dist_val = build_dist_adj(
-                    G.gcn_norm(d.adj_val), mesh, axis=axis)
-                self._dist_val_feat = self._dist_val.pad_features(
-                    d.feat_val)
-            if d.adj_test.n_rows >= min_n and d.adj_test.nnz > 0:
-                self._dist_test = build_dist_adj(
-                    G.gcn_norm(d.adj_test), mesh, axis=axis)
-                self._dist_test_feat = self._dist_test.pad_features(
-                    d.feat_test)
+
+            def _shard_subgraph(adj, feat):
+                if adj.n_rows < min_n or adj.nnz == 0:
+                    return None, None
+                dist = build_dist_adj(G.gcn_norm(adj), mesh, axis=axis)
+                return dist, dist.pad_features(feat)
+
+            self._dist_val, self._dist_val_feat = _shard_subgraph(
+                d.adj_val, d.feat_val)
+            self._dist_test, self._dist_test_feat = _shard_subgraph(
+                d.adj_test, d.feat_test)
             # marker so chunk=1 sequential-seed logic engages whenever
             # EITHER subgraph forward runs shard_map collectives (a
             # distributed val forward under vmap is exactly the fragile
@@ -405,4 +406,9 @@ class Evaluator:
                                  *val)
             return best_val
 
+        if self._dist_adj is not None:
+            # same guard as evaluate(): shard_map collectives in the val
+            # forward are fragile under vmap — run seeds sequentially
+            vals = [one(k) for k in keys]
+            return float(np.mean(np.asarray(vals)))
         return float(np.mean(np.asarray(jax.vmap(one)(keys))))

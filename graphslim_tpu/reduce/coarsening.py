@@ -46,6 +46,25 @@ def _laplacian(W: sp.csr_matrix) -> sp.csr_matrix:
     return sp.diags(deg) - W
 
 
+def _eigsh_smallest(L, W, k, tol, return_eigenvectors=True):
+    """Smallest-k Laplacian eigenpairs via the shifted-LM transform.
+
+    ARPACK ``which='SM'`` without shift-invert is pathologically slow on
+    large Laplacians; ``offset*I - L`` with ``which='LM'`` (offset = the
+    Gershgorin bound 2·max_deg ≥ λ_max) converges in seconds instead.
+    Eigenvalues come back ascending.
+    """
+    n = L.shape[0]
+    offset = 2.0 * float(np.asarray(W.sum(1)).max()) or 1.0
+    T = offset * sp.eye(n, format="csc") - L.tocsc()
+    if return_eigenvectors:
+        lk, Uk = sp.linalg.eigsh(T, k=k, which="LM", tol=tol)
+        return (offset - lk)[::-1], Uk[:, ::-1]
+    lk = sp.linalg.eigsh(T, k=k, which="LM", tol=tol,
+                         return_eigenvectors=False)
+    return np.sort(offset - lk)
+
+
 def _first_k_basis(W: sp.csr_matrix, K: int) -> np.ndarray:
     """B = U_K diag(λ_K^-1/2) of the Laplacian (λ_0 zeroed —
     reference ``variation_neighborhoods.py:49-66``)."""
@@ -57,11 +76,7 @@ def _first_k_basis(W: sp.csr_matrix, K: int) -> np.ndarray:
         lk = np.asarray(lk)[: K]
         Uk = np.asarray(Uk)[:, : K]
     else:
-        offset = 2 * float(np.asarray(W.sum(1)).max())
-        T = offset * sp.eye(n, format="csc") - L
-        lk, Uk = sp.linalg.eigsh(T, k=K, which="LM", tol=1e-5)
-        lk = (offset - lk)[::-1]
-        Uk = Uk[:, ::-1]
+        lk, Uk = _eigsh_smallest(L, W, K, tol=1e-5)
     mask = lk < 1e-10
     lk = np.where(mask, 1.0, lk)
     lsinv = lk ** -0.5
@@ -271,8 +286,8 @@ def _chebyshev_vectors(W, num_vectors=10, K=10, order=50, seed=0):
     if n <= _DENSE_EIG_CUTOFF:
         lk = np.linalg.eigvalsh(L.toarray())[:k_cut]
     else:
-        lk = np.sort(sp.linalg.eigsh(L.tocsc(), k=k_cut, which="SM",
-                                     tol=1e-2, return_eigenvectors=False))
+        lk = _eigsh_smallest(L, W, k_cut, tol=1e-2,
+                             return_eigenvectors=False)
     lam_cut = float(lk[-1])
     # Chebyshev coefficients of the ideal step h(λ) = 1[λ <= λ_cut] on
     # [0, lmax] (pygsp compute_cheby_coeff quadrature)
@@ -516,8 +531,7 @@ class _ProximityCoarsen(CoarsenBase):
         if W.shape[0] <= _DENSE_EIG_CUTOFF:
             lk, Uk = np.linalg.eigh(L.toarray())
             return lk[:K], Uk[:, :K]
-        lk, Uk = sp.linalg.eigsh(L.tocsc(), k=K, which="SM", tol=1e-2)
-        return lk, Uk
+        return _eigsh_smallest(L, W, K, tol=1e-2)
 
     def _proximity(self, W) -> tuple[np.ndarray, np.ndarray]:
         Wu = sp.triu(W, 1).tocoo()

@@ -112,6 +112,9 @@ def _eigsh_smallest(An: sp.spmatrix, k: int, args) -> tuple:
     * ``auto`` (default) — ``device`` on TPU, ``host`` elsewhere.
     """
     backend = getattr(args, "eigen_backend", "auto")
+    if backend not in ("auto", "host", "device"):
+        raise ValueError(
+            f"eigen_backend must be auto|host|device, got {backend!r}")
     if backend == "auto":
         backend = "device" if jax.default_backend() == "tpu" else "host"
     n = An.shape[0]

@@ -284,3 +284,34 @@ def test_proximity_measure_variants(tmp_path, synth_dataset, measure):
     assert 0 < red.n_syn < ds.n_nodes
     (mean, _), _ = Evaluator(ds, args).evaluate(red, "GCN")
     assert mean > 0.4, (measure, mean, red.n_syn)
+
+
+def test_eigsh_smallest_shifted_matches_dense():
+    """The shared shifted-LM ARPACK helper (offset*I - L, which='LM')
+    returns the same smallest eigenpairs as dense eigh — the fast
+    transform all large-graph eigensolves route through (ARPACK 'SM'
+    without shift-invert is pathologically slow)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from graphslim_tpu.reduce.coarsening import (_eigsh_smallest,
+                                                 _laplacian)
+
+    rng = np.random.default_rng(7)
+    n = 60
+    W = sp.random(n, n, density=0.1, random_state=5)
+    W = W + W.T
+    W.setdiag(0)
+    W.eliminate_zeros()
+    W = sp.csr_matrix(abs(W))
+    L = _laplacian(W)
+    want = np.linalg.eigvalsh(L.toarray())[:4]
+    lk, Uk = _eigsh_smallest(L, W, 4, tol=1e-9)
+    np.testing.assert_allclose(lk, want, atol=1e-6)
+    # eigenvectors satisfy L u = lambda u
+    for i in range(4):
+        np.testing.assert_allclose(L @ Uk[:, i], lk[i] * Uk[:, i],
+                                   atol=1e-6)
+    vals_only = _eigsh_smallest(L, W, 4, tol=1e-9,
+                                return_eigenvectors=False)
+    np.testing.assert_allclose(vals_only, want, atol=1e-6)

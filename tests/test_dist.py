@@ -253,3 +253,31 @@ def test_evaluator_mesh_path_inductive(mesh):
         (m1, s1), _ = ev.evaluate(red, mt)
         assert abs(m0 - m1) < 1e-6, (mt, m0, m1)
         assert abs(s0 - s1) < 1e-6, (mt, s0, s1)
+
+
+def test_dist_adj_matmul_rejects_padded_shape():
+    """DistAdj.matmul is original-order-only; a padded-domain array must
+    go through padded_view() (shape-based dispatch was a silent-wrong
+    trap when n_rows divides evenly into shards)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from graphslim_tpu.data import load
+    from graphslim_tpu.dist import make_mesh
+    from graphslim_tpu.dist.spmm import build_dist_adj
+
+    ds = load("karate", split="random", seed=0)   # n=34: 4 shards pad to 36
+    mesh = make_mesh(4)
+    da = build_dist_adj(ds.adj_norm(), mesh)
+    assert da.n_padded != da.hp.base.n_rows
+    xp = da.pad_features(ds.feat)
+    with pytest.raises(ValueError, match="padded_view"):
+        da.matmul(xp)
+    # padded_view + remapped crop matches the convenience path
+    out_pad = da.padded_view().matmul(xp)
+    out_conv = da.matmul(ds.feat)
+    got = jnp.take(out_pad, da.remap_idx(jnp.arange(ds.feat.shape[0])),
+                   axis=0)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(got), np.asarray(out_conv),
+                               rtol=1e-4, atol=1e-5)

@@ -134,3 +134,44 @@ def test_gnn_benchmark_npz_format():
     assert ds.adj.nnz > 0
     # no public split in the format: random class-wise split applied
     assert len(ds.idx_train) > 0 and len(ds.idx_test) > 0
+
+
+def test_fraud_mat_format(tmp_path):
+    """The DGL FraudDataset .mat parser (yelp/amazon raw files —
+    reference `dataset/loader.py:72-73` via `from_dgl(hetero=False)`,
+    `convertor.py:15-58`) unions the net_* relation edges, adds
+    self-loops, and reads sparse features + labels."""
+    import scipy.sparse as sp
+    from scipy.io import savemat
+
+    from graphslim_tpu.data import load
+
+    n = 40
+    rng = np.random.default_rng(3)
+    feat = rng.normal(size=(n, 6)).astype(np.float32)
+    labels = (rng.random(n) < 0.3).astype(np.int64)
+    # two relations with one shared edge (dedup in the union)
+    r1 = sp.coo_matrix((np.ones(3), ([0, 1, 2], [1, 2, 3])), (n, n))
+    r2 = sp.coo_matrix((np.ones(2), ([0, 5], [1, 6])), (n, n))
+    root = tmp_path / "yelp"
+    root.mkdir()
+    savemat(str(root / "YelpChi.mat"),
+            {"features": sp.csr_matrix(feat), "label": labels,
+             "net_rur": r1.tocsr(), "net_rtr": r2.tocsr()})
+
+    ds = load("yelp", data_dir=str(tmp_path), split="random", seed=0)
+    np.testing.assert_array_equal(np.asarray(ds.labels), labels)
+    # spec transform standardizes on train stats — undo via the oracle
+    tr = np.asarray(ds.idx_train)
+    mu, sd = feat[tr].mean(0), np.maximum(feat[tr].std(0), 1e-12)
+    np.testing.assert_allclose(np.asarray(ds.feat), (feat - mu) / sd,
+                               rtol=1e-4, atol=1e-5)
+    # union of relations (4 unique directed edges) + n self-loops,
+    # symmetrized by the loader
+    A = np.zeros((n, n))
+    for u, v in [(0, 1), (1, 2), (2, 3), (5, 6)]:
+        A[u, v] = A[v, u] = 1.0
+    np.fill_diagonal(A, 1.0)
+    got = np.zeros((n, n))
+    got[ds.adj_host.row, ds.adj_host.col] = 1.0
+    np.testing.assert_array_equal(got, (A != 0).astype(float))
