@@ -175,3 +175,23 @@ def test_fraud_mat_format(tmp_path):
     got = np.zeros((n, n))
     got[ds.adj_host.row, ds.adj_host.col] = 1.0
     np.testing.assert_array_equal(got, (A != 0).astype(float))
+
+
+def test_fraud_mat_homo_fallback(tmp_path):
+    """A FraudDataset .mat with only the precomputed `homo` union (no
+    net_* relation keys) still loads."""
+    import scipy.sparse as sp
+    from scipy.io import savemat
+
+    from graphslim_tpu.data.ingest import _load_fraud_mat
+
+    n = 10
+    feat = np.eye(n, dtype=np.float32)
+    homo = sp.coo_matrix((np.ones(2), ([0, 1], [1, 2])), (n, n)).tocsr()
+    p = tmp_path / "Amazon.mat"
+    savemat(str(p), {"features": feat, "label": np.zeros(n, np.int64),
+                     "homo": homo})
+    ei, f, lab, role = _load_fraud_mat(str(p))
+    assert role is None and f.shape == (n, n)
+    # 2 homo edges + n self-loops
+    assert ei.shape == (2, 2 + n)
