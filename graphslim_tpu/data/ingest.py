@@ -51,12 +51,16 @@ def try_load(name: str, data_dir: str):
     for r in (root, os.path.join(data_dir, name.replace("-", "_"))):
         if os.path.exists(os.path.join(r, "raw", "edge.csv.gz")):
             return _load_ogb(r)
-    # DGL FraudDataset raw .mat (yelp -> YelpChi.mat, amazon -> Amazon.mat)
+    # DGL FraudDataset raw .mat (yelp -> YelpChi.mat, amazon -> Amazon.mat).
+    # Gated on the fraud schema ('features' + 'label' keys) so a stray .mat
+    # under a non-fraud dataset's dir can't shadow the generic-npz fallback
+    # or die inside the fraud parser (ADVICE r4).
     mats = sorted(glob.glob(os.path.join(root, "*.mat"))
                   + glob.glob(os.path.join(root, "raw", "*.mat"))
                   + glob.glob(os.path.join(data_dir, f"{name}.mat")))
-    if mats:
-        return _load_fraud_mat(mats[0])
+    for mat in mats:
+        if _is_fraud_mat(mat):
+            return _load_fraud_mat(mat)
     generic = os.path.join(data_dir, f"{name}.npz")
     if os.path.exists(generic):
         return _load_generic(generic)
@@ -229,6 +233,19 @@ def _load_gnn_benchmark(data):
     return edge_index, feat, labels, None
 
 
+def _is_fraud_mat(path: str) -> bool:
+    """True iff the .mat carries the FraudDataset schema (node 'features'
+    + 'label' and at least one adjacency key)."""
+    from scipy.io import loadmat
+
+    try:
+        m = loadmat(path)
+    except Exception:
+        return False
+    return ("features" in m and "label" in m
+            and ("homo" in m or any(k.startswith("net_") for k in m)))
+
+
 def _load_fraud_mat(path: str):
     """Parse the DGL FraudDataset raw ``.mat`` (``YelpChi.mat`` /
     ``Amazon.mat`` — what ``FraudDataset`` itself reads).
@@ -250,17 +267,27 @@ def _load_fraud_mat(path: str):
     from scipy.io import loadmat
 
     m = loadmat(path)
-    rel_keys = sorted(k for k in m if k.startswith("net_")) or ["homo"]
+    rel_keys = sorted(k for k in m if k.startswith("net_"))
+    if not rel_keys:
+        if "homo" not in m:
+            raise ValueError(
+                f"{path}: no adjacency key found — expected 'net_*' "
+                f"relation matrices or a precomputed 'homo' union "
+                f"(got keys {sorted(k for k in m if not k.startswith('__'))})")
+        rel_keys = ["homo"]
     parts = [np.stack(sp.coo_matrix(m[k]).nonzero()) for k in rel_keys]
-    edge_index = np.unique(np.concatenate(parts, axis=1), axis=1)
     feat = m["features"]
     feat = np.asarray(feat.todense() if sp.issparse(feat) else feat,
                       dtype=np.float32)
     labels = np.asarray(m["label"]).ravel().astype(np.int32)
     n = feat.shape[0]
     loops = np.tile(np.arange(n, dtype=np.int64), (2, 1))
-    edge_index = np.concatenate([edge_index.astype(np.int64), loops],
-                                axis=1)
+    # dedup AFTER appending self-loops so a loop already present in some
+    # relation doesn't survive as a duplicate (weight-2 diagonal after
+    # downstream COO summing — ADVICE r4)
+    edge_index = np.unique(
+        np.concatenate([p.astype(np.int64) for p in parts] + [loops],
+                       axis=1), axis=1)
     return edge_index, feat, labels, None
 
 

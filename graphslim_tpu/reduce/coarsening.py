@@ -56,6 +56,14 @@ def _eigsh_smallest(L, W, k, tol, return_eigenvectors=True):
     """
     n = L.shape[0]
     offset = 2.0 * float(np.asarray(W.sum(1)).max()) or 1.0
+    # ARPACK's tol is RELATIVE to the Ritz value.  After the shift the
+    # Ritz values of interest sit near `offset` (= 2*max_deg), so a raw
+    # tol would permit absolute eigenvalue error ~tol*offset — potentially
+    # larger than the near-zero Laplacian eigenvalues being computed
+    # (ADVICE r4).  Dividing by offset makes `tol` an (approximately)
+    # ABSOLUTE eigenvalue tolerance, matching the old which='SM' behavior
+    # where the Ritz values themselves were near zero.
+    tol = tol / offset
     T = offset * sp.eye(n, format="csc") - L.tocsc()
     if return_eigenvectors:
         lk, Uk = sp.linalg.eigsh(T, k=k, which="LM", tol=tol)
@@ -426,10 +434,13 @@ class CoarsenBase(Reducer):
         ei = np.stack([np.concatenate(rows_out), np.concatenate(cols_out)])
         ew = np.concatenate(vals_out)
 
-        if data.setting == "trans":
-            keep = np.flatnonzero(msk)
-        else:
-            keep = np.flatnonzero(msk)
+        # Trans restriction (reference ``coarsening_base.py:96-99``) is
+        # already enforced by the train-mask zeroing above: onehot rows of
+        # non-train nodes are zeroed before lifting, so `msk` keeps only
+        # supernodes containing >=1 train node with an unmixed label —
+        # identical in both settings (ind lifts the train subgraph, where
+        # every node is a train node).
+        keep = np.flatnonzero(msk)
         lookup = -np.ones(offset, dtype=np.int64)
         lookup[keep] = np.arange(len(keep))
         er, ec = lookup[ei[0]], lookup[ei[1]]
