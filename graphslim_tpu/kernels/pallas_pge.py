@@ -80,21 +80,46 @@ def _fwd_kernel(n: int, L2: int,
     b = b_ref[:]                      # (TJ, H)
     H = a.shape[1]
     P = TI * TJ
-    h = (a[:, None, :] + b[None, :, :]).reshape(P, H)
-    mask = _pair_mask(i, j, n, P, H)
-    count = jnp.maximum(jnp.sum(mask) / H, 1.0)
-    for l in range(L2 + 1):
-        if l > 0:
-            h = jnp.dot(h.astype(MM_DTYPE),
-                        wmid_ref[l - 1].astype(MM_DTYPE),
-                        preferred_element_type=jnp.float32) + bmid_ref[l - 1]
-        hm = h * mask
-        mean = jnp.sum(hm, axis=0) / count
-        var = jnp.sum(hm * hm, axis=0) / count - mean * mean
-        xhat = (h - mean) * jax.lax.rsqrt(var + EPS)
-        h = jnp.maximum(xhat * gamma_ref[l] + beta_ref[l], 0.0)
-    s = jnp.sum((h * wlast_ref[0]).reshape(TI, TJ, H), axis=2)
-    out_ref[:] = s
+
+    # The kernel is VPU-bound (measured 18% of bf16 MXU peak, benchmark/
+    # probe_step_phases.py): the elementwise BN/mask chain dominates the
+    # per-layer dot.  Two VPU savings: (1) interior tiles — all but the
+    # last row/col tile, ~90% at arxiv scale — skip the mask entirely;
+    # (2) BN+affine folds to one fused multiply-add (h·scale + shift
+    # with scale = invstd·γ, shift = β − mean·scale) instead of
+    # materializing xhat.
+    def compute(masked: bool):
+        h = (a[:, None, :] + b[None, :, :]).reshape(P, H)
+        if masked:
+            mask = _pair_mask(i, j, n, P, H)
+            count = jnp.maximum(jnp.sum(mask) / H, 1.0)
+        for l in range(L2 + 1):
+            if l > 0:
+                h = jnp.dot(h.astype(MM_DTYPE),
+                            wmid_ref[l - 1].astype(MM_DTYPE),
+                            preferred_element_type=jnp.float32) \
+                    + bmid_ref[l - 1]
+            if masked:
+                hm = h * mask
+                mean = jnp.sum(hm, axis=0) / count
+                var = jnp.sum(hm * hm, axis=0) / count - mean * mean
+            else:
+                mean = jnp.sum(h, axis=0) / P
+                var = jnp.sum(h * h, axis=0) / P - mean * mean
+            scale = jax.lax.rsqrt(var + EPS) * gamma_ref[l]
+            shift = beta_ref[l] - mean * scale
+            h = jnp.maximum(h * scale + shift, 0.0)
+        return jnp.sum((h * wlast_ref[0]).reshape(TI, TJ, H), axis=2)
+
+    full = ((i + 1) * TI <= n) & ((j + 1) * TJ <= n)
+
+    @pl.when(full)
+    def _():
+        out_ref[:] = compute(False)
+
+    @pl.when(jnp.logical_not(full))
+    def _():
+        out_ref[:] = compute(True)
 
 
 def _fwd(a, b, wmid, bmid, gamma, beta, wlast, *, n: int, interpret: bool):
@@ -151,102 +176,132 @@ def _bwd_kernel(n: int, L2: int,
     b = b_ref[:]
     H = a.shape[1]
     P = TI * TJ
-    mask = _pair_mask(i, j, n, P, H)
-    count = jnp.maximum(jnp.sum(mask) / H, 1.0)
 
-    # --- recompute forward, keeping per-layer residuals -----------------
-    h = (a[:, None, :] + b[None, :, :]).reshape(P, H)
-    xhats = []
-    invstds = []
-    inputs = []       # matmul inputs (post-relu of previous layer)
-    for l in range(L2 + 1):
-        if l > 0:
-            inputs.append(h)
-            h = jnp.dot(h.astype(MM_DTYPE),
-                        wmid_ref[l - 1].astype(MM_DTYPE),
-                        preferred_element_type=jnp.float32) + bmid_ref[l - 1]
-        hm = h * mask
-        mean = jnp.sum(hm, axis=0) / count
-        var = jnp.sum(hm * hm, axis=0) / count - mean * mean
-        invstd = jax.lax.rsqrt(var + EPS)
-        xhat = (h - mean) * invstd
-        xhats.append(xhat)
-        invstds.append(invstd)
-        h = jnp.maximum(xhat * gamma_ref[l] + beta_ref[l], 0.0)
+    def compute(masked: bool):
+        """Recompute forward + full backward for this tile.  The
+        ``masked=False`` interior-tile path (all but the last row/col
+        tile) drops every mask multiply — the VPU chain dominates the
+        kernel (see _fwd_kernel)."""
+        if masked:
+            mask = _pair_mask(i, j, n, P, H)
+            count = jnp.maximum(jnp.sum(mask) / H, 1.0)
+        else:
+            count = float(P)
 
-    # --- backward --------------------------------------------------------
-    g = jnp.broadcast_to(g_ref[:][:, :, None],
-                         (TI, TJ, H)).reshape(P, H) * mask   # (P,H)
-    dwlast = jnp.sum(h * g, axis=0, keepdims=True)           # (1,H)
-    dh = g * wlast_ref[0]                                    # (P,H)
-
-    dwmids = [None] * L2
-    dbmids = [None] * L2
-    dgammas = []
-    dbetas = []
-    for l in range(L2, -1, -1):
-        xhat = xhats[l]
-        pre_relu = xhat * gamma_ref[l] + beta_ref[l]
-        dh = jnp.where(pre_relu > 0.0, dh, 0.0) * mask
-        dgammas.append(jnp.sum(dh * xhat, axis=0, keepdims=True))
-        dbetas.append(jnp.sum(dh, axis=0, keepdims=True))
-        # batch-stats BN backward (masked population of size `count`)
-        dxhat = dh * gamma_ref[l]
-        m1 = jnp.sum(dxhat, axis=0) / count
-        m2 = jnp.sum(dxhat * xhat, axis=0) / count
-        dh = (dxhat - m1 - xhat * m2) * invstds[l] * mask
-        if l > 0:
-            x_in = inputs[l - 1]
-            # x_inᵀ·dh and dh·Wᵀ as dot_general (no transposed copies)
-            dwmids[l - 1] = jax.lax.dot_general(
-                x_in.astype(MM_DTYPE), dh.astype(MM_DTYPE),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dbmids[l - 1] = jnp.sum(dh, axis=0, keepdims=True)
-            dh = jax.lax.dot_general(
-                dh.astype(MM_DTYPE),
-                wmid_ref[l - 1].astype(MM_DTYPE),
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-    dgammas.reverse()
-    dbetas.reverse()
-
-    dh0 = dh.reshape(TI, TJ, H)
-    da_tile = jnp.sum(dh0, axis=1)                  # (TI, H)
-    db_tile = jnp.sum(dh0, axis=0)                  # (TJ, H)
-
-    # --- accumulate outputs ----------------------------------------------
-    # da: revisited consecutively across the fast (j) grid axis
-    @pl.when(j == 0)
-    def _():
-        da_ref[:] = da_tile
-
-    @pl.when(j != 0)
-    def _():
-        da_ref[:] += da_tile
-
-    dbp_ref[0] = db_tile
-
-    # parameter grads: one block revisited by every grid step
-    @pl.when(first)
-    def _():
-        for l in range(L2):
-            dwmid_ref[l] = dwmids[l]
-            dbmid_ref[l] = dbmids[l][0]
+        # --- recompute forward, keeping per-layer residuals -------------
+        h = (a[:, None, :] + b[None, :, :]).reshape(P, H)
+        xhats = []
+        invstds = []
+        inputs = []       # matmul inputs (post-relu of previous layer)
         for l in range(L2 + 1):
-            dgamma_ref[l] = dgammas[l][0]
-            dbeta_ref[l] = dbetas[l][0]
-        dwlast_ref[:] = dwlast
+            if l > 0:
+                inputs.append(h)
+                h = jnp.dot(h.astype(MM_DTYPE),
+                            wmid_ref[l - 1].astype(MM_DTYPE),
+                            preferred_element_type=jnp.float32) \
+                    + bmid_ref[l - 1]
+            hm = h * mask if masked else h
+            mean = jnp.sum(hm, axis=0) / count
+            var = jnp.sum(hm * hm, axis=0) / count - mean * mean
+            invstd = jax.lax.rsqrt(var + EPS)
+            xhat = (h - mean) * invstd
+            xhats.append(xhat)
+            invstds.append(invstd)
+            h = jnp.maximum(xhat * gamma_ref[l] + beta_ref[l], 0.0)
 
-    @pl.when(jnp.logical_not(first))
+        # --- backward ---------------------------------------------------
+        g = jnp.broadcast_to(g_ref[:][:, :, None],
+                             (TI, TJ, H)).reshape(P, H)       # (P,H)
+        if masked:
+            g = g * mask
+        dwlast = jnp.sum(h * g, axis=0, keepdims=True)        # (1,H)
+        dh = g * wlast_ref[0]                                 # (P,H)
+
+        dwmids = [None] * L2
+        dbmids = [None] * L2
+        dgammas = []
+        dbetas = []
+        for l in range(L2, -1, -1):
+            xhat = xhats[l]
+            pre_relu = xhat * gamma_ref[l] + beta_ref[l]
+            dh = jnp.where(pre_relu > 0.0, dh, 0.0)
+            if masked:
+                dh = dh * mask
+            dgammas.append(jnp.sum(dh * xhat, axis=0, keepdims=True))
+            dbetas.append(jnp.sum(dh, axis=0, keepdims=True))
+            # batch-stats BN backward (population of size `count`)
+            dxhat = dh * gamma_ref[l]
+            m1 = jnp.sum(dxhat, axis=0) / count
+            m2 = jnp.sum(dxhat * xhat, axis=0) / count
+            dh = (dxhat - m1 - xhat * m2) * invstds[l]
+            if masked:
+                dh = dh * mask
+            if l > 0:
+                x_in = inputs[l - 1]
+                # x_inᵀ·dh and dh·Wᵀ as dot_general (no transposed copies)
+                dwmids[l - 1] = jax.lax.dot_general(
+                    x_in.astype(MM_DTYPE), dh.astype(MM_DTYPE),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dbmids[l - 1] = jnp.sum(dh, axis=0, keepdims=True)
+                dh = jax.lax.dot_general(
+                    dh.astype(MM_DTYPE),
+                    wmid_ref[l - 1].astype(MM_DTYPE),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        dgammas.reverse()
+        dbetas.reverse()
+
+        dh0 = dh.reshape(TI, TJ, H)
+        da_tile = jnp.sum(dh0, axis=1)                  # (TI, H)
+        db_tile = jnp.sum(dh0, axis=0)                  # (TJ, H)
+        return (da_tile, db_tile, dwmids, dbmids, dgammas, dbetas,
+                dwlast)
+
+    def emit(res):
+        da_tile, db_tile, dwmids, dbmids, dgammas, dbetas, dwlast = res
+
+        # da: revisited consecutively across the fast (j) grid axis
+        @pl.when(j == 0)
+        def _():
+            da_ref[:] = da_tile
+
+        @pl.when(j != 0)
+        def _():
+            da_ref[:] += da_tile
+
+        dbp_ref[0] = db_tile
+
+        # parameter grads: one block revisited by every grid step
+        @pl.when(first)
+        def _():
+            for l in range(L2):
+                dwmid_ref[l] = dwmids[l]
+                dbmid_ref[l] = dbmids[l][0]
+            for l in range(L2 + 1):
+                dgamma_ref[l] = dgammas[l][0]
+                dbeta_ref[l] = dbetas[l][0]
+            dwlast_ref[:] = dwlast
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            for l in range(L2):
+                dwmid_ref[l] += dwmids[l]
+                dbmid_ref[l] += dbmids[l][0]
+            for l in range(L2 + 1):
+                dgamma_ref[l] += dgammas[l][0]
+                dbeta_ref[l] += dbetas[l][0]
+            dwlast_ref[:] += dwlast
+
+    full = ((i + 1) * TI <= n) & ((j + 1) * TJ <= n)
+
+    @pl.when(full)
     def _():
-        for l in range(L2):
-            dwmid_ref[l] += dwmids[l]
-            dbmid_ref[l] += dbmids[l][0]
-        for l in range(L2 + 1):
-            dgamma_ref[l] += dgammas[l][0]
-            dbeta_ref[l] += dbetas[l][0]
-        dwlast_ref[:] += dwlast
+        emit(compute(False))
+
+    @pl.when(jnp.logical_not(full))
+    def _():
+        emit(compute(True))
 
 
 def _bwd(a, b, wmid, bmid, gamma, beta, wlast, g, *, n: int,

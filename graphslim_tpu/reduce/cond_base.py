@@ -30,7 +30,8 @@ from graphslim_tpu import graph as G
 from graphslim_tpu import models as M
 from graphslim_tpu import utils
 from graphslim_tpu.data import save_reduced
-from graphslim_tpu.kernels.sample import (BlockSample,
+from graphslim_tpu.kernels.sample import (BlockSample, PackedCsr,
+                                          build_packed_csr,
                                           neighbor_sample_block)
 from graphslim_tpu.models.pge import PGE, PGEConfig
 from graphslim_tpu.reduce.base import Reducer, class_budgets
@@ -111,6 +112,7 @@ class RealTensors(NamedTuple):
     pool_counts: jax.Array   # [C]
     adj_off: G.SparseAdj     # normalized adjacency, diagonal removed
     self_vals: jax.Array     # [n] normalized self-loop values
+    tables: PackedCsr        # precomputed sampler layout (kernels/sample)
 
 class CondensationBase(Reducer):
     """Shared state for GCond/DosCond/±X/GCDM: budgets, syn params,
@@ -166,6 +168,16 @@ class CondensationBase(Reducer):
             np.stack([row[~diag], col[~diag]]), norm.n_rows,
             edge_weight=val[~diag], dedup=False)
         self.self_vals = jnp.asarray(self_vals)
+        # Precomputed sampler tables from the host COO — no device
+        # readback, and no per-step in-jit layout build (~1.8 ms at
+        # arxiv scale, benchmark/probe_step_phases.py).
+        ro, co, vo = row[~diag], col[~diag], val[~diag]
+        order = np.argsort(ro, kind="stable")
+        indptr_off = np.zeros(norm.n_rows + 1, dtype=np.int64)
+        np.cumsum(np.bincount(ro, minlength=norm.n_rows),
+                  out=indptr_off[1:])
+        self.sample_tables = build_packed_csr(
+            indptr_off, co[order], vo[order], self_vals)
         self.adj_norm_full = norm
         from graphslim_tpu.kernels.ell import build_ell
         self.adj_norm_fast = build_ell(norm_host.indptr, norm_host.col,
@@ -187,7 +199,8 @@ class CondensationBase(Reducer):
         self.real = RealTensors(
             features=self.features, labels_real=self.labels_real,
             pools=self.pools, pool_counts=self.pool_counts,
-            adj_off=self.adj_off, self_vals=self.self_vals)
+            adj_off=self.adj_off, self_vals=self.self_vals,
+            tables=self.sample_tables)
 
         self._build_class_tables()
 
@@ -240,7 +253,8 @@ class CondensationBase(Reducer):
         pool = real.pools[class_idx]
         count = real.pool_counts[class_idx]
         B = self.batch
-        k1, k2 = jax.random.split(key)
+        from graphslim_tpu.kernels.sample import sampling_key
+        k1, k2 = jax.random.split(sampling_key(key))
         slot = jnp.arange(B, dtype=jnp.int32)
         rand = jax.random.randint(k1, (B,), 0, jnp.maximum(count, 1))
         pos = jnp.where(count <= B, jnp.minimum(slot, count - 1), rand)
@@ -249,7 +263,7 @@ class CondensationBase(Reducer):
         block = neighbor_sample_block(
             k2, real.adj_off.indptr, real.adj_off.col,
             real.adj_off.values_or_ones(), real.self_vals, targets,
-            self.fanouts)
+            self.fanouts, tables=real.tables)
         return block, targets, valid
 
     def _sample_all_class_blocks(self, key, real=None):
@@ -263,7 +277,8 @@ class CondensationBase(Reducer):
         """
         real = self.real if real is None else real
         C, B = len(self.classes), self.batch
-        k1, k2 = jax.random.split(key)
+        from graphslim_tpu.kernels.sample import sampling_key
+        k1, k2 = jax.random.split(sampling_key(key))
         counts = real.pool_counts
         slot = jnp.arange(B, dtype=jnp.int32)[None, :]
         rand = jax.random.randint(k1, (C, B), 0,
@@ -275,7 +290,7 @@ class CondensationBase(Reducer):
         block = neighbor_sample_block(
             k2, real.adj_off.indptr, real.adj_off.col,
             real.adj_off.values_or_ones(), real.self_vals,
-            targets.reshape(-1), self.fanouts)
+            targets.reshape(-1), self.fanouts, tables=real.tables)
         ids = tuple(x.reshape(C, -1) for x in block.node_ids)
         ws = tuple(w.reshape(C, -1, w.shape[-1]) for w in block.weights)
         return ids, ws, targets, valid
@@ -333,8 +348,13 @@ class CondensationBase(Reducer):
                                        adj_syn_norm, key)
         ids, ws, targets, valid = self._sample_all_class_blocks(key, real)
 
-        def body(acc, inputs):
-            ids_c, ws_c, tgt, vld, mask, coeff = inputs
+        # Real grads: scan over classes.  Measured FASTER than vmap here
+        # (21.5 vs 31.9 ms incl. sampling at arxiv shapes — the batched
+        # [C, 16k, d] layout loses to sequential full-width matmuls,
+        # benchmark/outer_step_floor.py).  The stacked per-class grads
+        # are tiny (C × |params|).
+        def real_body(_, inputs):
+            ids_c, ws_c, tgt, vld = inputs
             block = BlockSample(node_ids=ids_c, weights=ws_c)
             feat_deep = jnp.take(real.features, block.node_ids[0], axis=0)
             y = jnp.take(real.labels_real, tgt)
@@ -343,16 +363,24 @@ class CondensationBase(Reducer):
                 out = self.model.apply(p, feat_deep, block)
                 return masked_nll(out, y, vld)
 
-            gw_real = jax.lax.stop_gradient(jax.grad(loss_of)(model_params))
-            gw_syn = self._syn_class_grad(model_params, feat_syn,
-                                          adj_syn_norm, mask)
-            ml = match_loss(gw_syn, gw_real, self.args.dis_metric)
-            return acc + coeff * ml, None
+            return None, jax.grad(loss_of)(model_params)
 
-        total, _ = jax.lax.scan(
-            body, jnp.float32(0.0),
-            (ids, ws, targets, valid, self.class_masks, self.coeffs))
-        return total
+        _, gw_real = jax.lax.scan(real_body, None,
+                                  (ids, ws, targets, valid))
+        gw_real = jax.lax.stop_gradient(gw_real)
+
+        # Syn grads: vmap over class masks.  The synthetic forward does
+        # not depend on the mask, so vmap computes it ONCE with C
+        # batched backward passes (measured 2.7 vs 3.7 ms scanned).
+        gw_syn = jax.vmap(
+            lambda mask: self._syn_class_grad(model_params, feat_syn,
+                                              adj_syn_norm, mask)
+        )(self.class_masks)
+
+        mls = jax.vmap(
+            lambda gs, gr: match_loss(gs, gr, self.args.dis_metric)
+        )(gw_syn, gw_real)
+        return jnp.sum(self.coeffs * mls)
 
     def syn_adj_norm(self, pge_params, feat_syn):
         if not self.with_structure:

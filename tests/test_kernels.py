@@ -135,6 +135,35 @@ class TestNeighborSample:
         np.testing.assert_allclose(mean, want, atol=0.05, rtol=0.05)
 
 
+def test_precomputed_packed_csr_matches_in_jit_build(rng):
+    """neighbor_sample_block with precomputed PackedCsr tables produces
+    bit-identical blocks to the in-jit table build (same key)."""
+    from graphslim_tpu.kernels.sample import build_packed_csr
+
+    n = 14
+    ei = rng.integers(0, n, size=(2, 50))
+    norm = G.gcn_norm(G.from_edge_index(ei, n, symmetrize=True))
+    diag = np.asarray(norm.row) == np.asarray(norm.col)
+    self_vals = np.zeros(n, dtype=np.float32)
+    self_vals[np.asarray(norm.row)[diag]] = np.asarray(norm.val)[diag]
+    off = ~diag
+    offadj = G.from_edge_index(
+        np.stack([np.asarray(norm.row)[off],
+                  np.asarray(norm.col)[off]]), n,
+        edge_weight=np.asarray(norm.val)[off], dedup=False)
+    tables = build_packed_csr(
+        np.asarray(offadj.indptr), np.asarray(offadj.col),
+        np.asarray(offadj.values_or_ones()), self_vals)
+    targets = jnp.arange(n, dtype=jnp.int32)
+    k = jax.random.key(11)
+    args = (offadj.indptr, offadj.col, offadj.values_or_ones(),
+            jnp.asarray(self_vals), targets)
+    a = neighbor_sample_block(k, *args, fanouts=[3, 2])
+    b = neighbor_sample_block(k, *args, fanouts=[3, 2], tables=tables)
+    for xa, xb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
 # ---------------------------------------------------------------------------
 # Fused Pallas PGE pair-scoring kernel (interpret mode on CPU)
 # ---------------------------------------------------------------------------
