@@ -21,11 +21,16 @@ Primary metric: full GCond outer steps per second (sample + real grads for
 all 40 classes + PGE adjacency + nested-grad match loss + optimizer update)
 on the ogbn-arxiv-profile graph at r=0.01 — the reference's hottest loop
 (SURVEY.md §3.1, /root/reference/graphslim/condensation/gcond.py:40-72).
-``vs_baseline`` compares against the A100 reference estimate of ~1.0
-outer-steps/s (GCond paper-scale runs: 600 epochs x 20 outer ~= hours on
-A100-class GPUs; the reference CPU smoke path cannot even finish one arxiv
-run inside its 121 s timeout, BASELINE.md).  Secondary numbers (SpMM
-edges/s + speed-of-light fraction, eval accuracy) land in "extra".
+``vs_baseline`` compares against a DERIVED hardware ceiling for the
+reference on an A100, not an estimate: counting the reference loop's
+FLOPs at the ogbn-arxiv config and granting it 100% fp32 utilization
+with zero sampling/staging/launch cost gives <=24.7 outer-steps/s
+(graphslim_tpu.profiling.a100_reference_ceiling_steps_per_s, VERDICT r4
+item 1a); the realistic reference rate is far lower (per-class CPU
+NeighborSampler + synchronous staging; the measured torch-CPU replica
+runs 58.8 s/step).  vs_baseline > 1 therefore means "faster than a
+perfect A100 running the reference".  Secondary numbers (SpMM edges/s +
+speed-of-light fraction, eval accuracy) land in "extra".
 """
 
 from __future__ import annotations
@@ -38,7 +43,11 @@ import time
 
 import numpy as np
 
-BASELINE_MATCH_STEPS_PER_S = 1.0   # A100-reference estimate (see docstring)
+from graphslim_tpu.profiling import (a100_reference_ceiling_steps_per_s,
+                                     gcond_step_flops)
+
+# Derived A100 fp32 arithmetic ceiling for the reference loop (~24.7).
+BASELINE_MATCH_STEPS_PER_S = a100_reference_ceiling_steps_per_s()[0]
 # Measured on THIS host (benchmark/torch_step_replica.py, 2026-08-20):
 # a torch-CPU replica of the reference outer step at identical shapes
 # runs at 58.8 s/step.  The replica pre-gathers blocks (no sampler
@@ -231,6 +240,56 @@ def main() -> None:
              f"{_RESULT['extra']['spmm_edges_per_s']} Medges/s, "
              f"SOL {_RESULT['extra']['spmm_sol_pct']}%, gather-floor "
              f"{_RESULT['extra'].get('spmm_gather_floor_pct')}%")
+
+        # --- lever 1 (VERDICT r4 item 3): bf16 feature bytes ---------
+        try:
+            xb = x.astype(jnp.bfloat16)
+            ob = spmm(ell, xb)
+            _ = float(np.asarray(peek(ob.astype(jnp.float32))))
+            t0 = time.time()
+            for _ in range(n_rep):
+                ob = spmm(ell, ob.astype(jnp.bfloat16))
+            _ = float(np.asarray(peek(ob.astype(jnp.float32))))
+            bf16_s = (time.time() - t0) / n_rep
+            _RESULT["extra"]["spmm_bf16_edges_per_s"] = round(
+                adj.nnz / bf16_s / 1e6, 1)
+            _RESULT["extra"]["spmm_bf16_ms"] = round(bf16_s * 1e3, 3)
+            _log(f"spmm bf16 {bf16_s*1e3:.3f} ms "
+                 f"({adj.nnz / bf16_s / 1e6:.1f} Medges/s)")
+        except Exception as e:
+            _RESULT["extra"]["spmm_bf16_error"] = repr(e)[:150]
+
+        # --- lever 2: locality ordering via the repo's own partitioner
+        try:
+            from graphslim_tpu.dist.spmm import (edge_cut_order,
+                                                 reorder_adj)
+            from graphslim_tpu.kernels.ell import build_ell
+
+            order = edge_cut_order(adj, 8)
+            adj_ord = reorder_adj(adj, order)
+            # same slot budget as ds.adj_norm_ell() for a fair A/B
+            d_feat = max(int(x.shape[-1]), 256)
+            max_slots = max(int(4.8e9 / (d_feat * 4)), 2_000_000)
+            ell_ord = build_ell(np.asarray(adj_ord.indptr),
+                                np.asarray(adj_ord.col),
+                                None if adj_ord.val is None
+                                else np.asarray(adj_ord.val),
+                                max_slots=max_slots)
+            x_ord = jnp.asarray(np.asarray(x)[np.asarray(order)])
+            oo = spmm(ell_ord, x_ord)
+            _ = float(np.asarray(peek(oo)))
+            t0 = time.time()
+            for _ in range(n_rep):
+                oo = spmm(ell_ord, oo)
+            _ = float(np.asarray(peek(oo)))
+            ord_s = (time.time() - t0) / n_rep
+            _RESULT["extra"]["spmm_ordered_edges_per_s"] = round(
+                adj.nnz / ord_s / 1e6, 1)
+            _RESULT["extra"]["spmm_ordered_ms"] = round(ord_s * 1e3, 3)
+            _log(f"spmm edge-cut-ordered {ord_s*1e3:.3f} ms "
+                 f"({adj.nnz / ord_s / 1e6:.1f} Medges/s)")
+        except Exception as e:
+            _RESULT["extra"]["spmm_ordered_error"] = repr(e)[:150]
     except Exception as e:
         _RESULT["extra"]["spmm_error"] = repr(e)[:200]
         _log(f"spmm stage failed: {e!r}")
@@ -285,15 +344,20 @@ def main() -> None:
         _log(f"outer step compiled ({_RESULT['extra']['compile_s']}s)")
         outer_step = compiled
 
-        # FLOP count from the SAME executable (XLA cost analysis) for
-        # the MFU figure (VERDICT r3 weak #7: the perf claim should
-        # stand on hardware utilization, not only on the A100 estimate)
+        # Analytic FLOP count for the MFU figure.  XLA cost_analysis is
+        # WRONG for scanned programs (counts the while body once, not
+        # x trip-count — it under-reported this step ~260x and produced
+        # round 4's 0.18% MFU artifact); profiling.gcond_step_flops
+        # walks the actual shapes instead.
         step_flops = None
         try:
-            ca = compiled.cost_analysis()
-            if isinstance(ca, list):
-                ca = ca[0]
-            step_flops = float(ca.get("flops", 0.0)) or None
+            step_flops = gcond_step_flops(
+                n_classes=len(engine.classes), batch=engine.batch,
+                fanouts=engine.fanouts, nfeat=engine.d,
+                nhid=args.hidden, nclass=engine.nclass,
+                ntrans=args.ntrans, n_syn=engine.n_syn,
+                pge_nhid=engine.pge.cfg.nhid,
+                pge_nlayers=engine.pge.cfg.nlayers)["total"]
         except Exception as e:
             _RESULT["extra"]["mfu_error"] = repr(e)[:120]
 
@@ -318,12 +382,9 @@ def main() -> None:
                 steps_per_s * TORCH_CPU_STEP_S, 0),
         })
         if step_flops is not None:
-            # MFU vs the v5e f32-on-MXU peak; the step runs f32 end-to-
-            # end, so bf16/int8 peaks would overstate the denominator's
-            # availability.  A low MFU here is EXPECTED and diagnostic:
-            # the step is gather/HBM-bound (sampled blocks, per-class
-            # small matmuls), not MXU-bound — the roofline companion is
-            # the SpMM SOL%/gather-floor numbers above.
+            # MFU vs the v5e f32-on-MXU peak (the PGE kernel runs bf16
+            # matmuls, so >100% is possible; the per-phase floor table
+            # lives in benchmark/outer_step_floor.py / docs/PERF.md).
             mfu = step_flops / step_s / (PEAK_F32_FLOPS_V5E) * 100.0
             _RESULT["extra"]["outer_step_mfu_pct"] = round(mfu, 2)
             _RESULT["extra"]["outer_step_gflops"] = round(

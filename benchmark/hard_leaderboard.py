@@ -1,0 +1,129 @@
+"""Converged-budget leaderboard on the synth-hard twin (VERDICT r4 item 4).
+
+Runs every condensation method at a converged (non-smoke) budget on
+synth-hard at r=0.5, where the task is NOT saturated: random coreset
+scores ~0.75 and full-graph GCN ~0.835, so ordering carries information.
+Floor for a working condensation method = random-coreset accuracy at the
+same r (reference protocol: ``eval_agent.py:234-291``).
+
+Each method runs in its own process (spawn) so a crash/hang cannot take
+down the sweep.  Prints a leaderboard and one JSON line at the end.
+
+Usage: python benchmark/hard_leaderboard.py [--methods a,b,c] [--timeout 1800]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+import traceback
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Converged budgets per method (beyond the shared base).  Values follow
+# each method's own e2e test config with the budget knobs raised to the
+# point of diminishing returns on this 900-node twin.
+CONVERGED = {
+    "random": {},
+    "gcond": dict(epochs=300, run_inter_eval=1, eval_epochs=300),
+    "gcondx": dict(epochs=100, outer_loop=5, inner_loop=1,
+                   lr_feat=0.01, condense_model="SGC"),
+    "simgc": dict(epochs=300, lr_teacher=0.01, threshold=0.05),
+    "sgdd": dict(epochs=60, outer_loop=8, inner_loop=1,
+                 opt_scale=1e-11, mx_size=100, lr_feat=0.01,
+                 condense_model="SGC"),
+    "sgdd_long": dict(method="sgdd", epochs=200, outer_loop=8,
+                      inner_loop=1, opt_scale=1e-11, mx_size=100,
+                      lr_feat=0.01, condense_model="SGC"),
+    "gcond_long": dict(method="gcond", epochs=600, run_inter_eval=1,
+                       eval_epochs=300),
+    "msgc": dict(epochs=60, outer_loop=8, inner_loop=1, batch_adj=3,
+                 lr_feat=0.01, condense_model="SGC"),
+    "gdem": dict(epochs=200, eigen_k=32),
+    "gcsntk": dict(epochs=60),
+    "sfgc": dict(epochs=20, teacher_epochs=200, expert_epochs=100,
+                 syn_steps=40, num_experts=4, lr_student=0.2,
+                 lr_feat=0.001, start_epoch=40, optim="SGD",
+                 max_start_epoch_s=40, max_start_epoch=60),
+    "geom": dict(epochs=20, teacher_epochs=200, expert_epochs=100,
+                 syn_steps=40, num_experts=4, lr_student=0.2,
+                 lr_feat=0.001, start_epoch=40, optim="SGD", lam=0.75,
+                 T=100, max_start_epoch_s=40, max_start_epoch=60,
+                 min_start_epoch=0, beta=0.01),
+    "gecc": dict(),
+    "mirage": dict(),
+}
+
+
+RATE = 0.5
+
+
+def _run_one(method: str, q, rate: float) -> None:
+    global RATE
+    RATE = rate
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from graphslim_tpu.config import Args, finalize
+    from graphslim_tpu.data import load
+    from graphslim_tpu.eval import Evaluator
+    from graphslim_tpu.reduce import create_reducer
+
+    try:
+        base = dict(dataset="synth-hard", method=method,
+                    save_path="/tmp/gs_hard_lb", reduction_rate=rate,
+                    eval_epochs=300, run_eval=3, run_inter_eval=1)
+        base.update(CONVERGED.get(method, {}))
+        method = base["method"]
+        args = finalize(Args(**base), explicit=set(base))
+        data = load("synth-hard", setting=args.setting, split=args.split,
+                    seed=args.seed)
+        t0 = time.time()
+        reduced = create_reducer(method, data, args).reduce(data)
+        (mean, std), _ = Evaluator(data, args).evaluate(reduced, "GCN")
+        q.put((method, "pass", time.time() - t0, float(mean), float(std)))
+    except Exception:
+        traceback.print_exc()
+        q.put((method, "FAIL", 0.0, 0.0, 0.0))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--methods", default=",".join(CONVERGED))
+    ap.add_argument("--timeout", type=int, default=2400)
+    ap.add_argument("--rate", type=float, default=0.5)
+    args = ap.parse_args()
+
+    rows = []
+    ctx = mp.get_context("spawn")
+    for m in args.methods.split(","):
+        q = ctx.Queue()
+        p = ctx.Process(target=_run_one, args=(m, q, args.rate))
+        t0 = time.time()
+        p.start()
+        p.join(args.timeout)
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            rows.append((m, "TIMEOUT", float(args.timeout), 0.0, 0.0))
+        else:
+            rows.append(q.get() if not q.empty()
+                        else (m, "CRASH", time.time() - t0, 0.0, 0.0))
+        name, status, dt, acc, std = rows[-1]
+        print(f"{name:12s} {status:8s} {dt:8.1f}s  acc={acc:.3f}"
+              f"±{std:.3f}", flush=True)
+    print(json.dumps({r[0]: {"status": r[1], "t_s": round(r[2], 1),
+                             "acc": round(r[3], 4), "std": round(r[4], 4)}
+                      for r in rows}))
+
+
+if __name__ == "__main__":
+    main()

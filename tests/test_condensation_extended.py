@@ -40,6 +40,22 @@ def test_ell_matches_sparse(synth_dataset):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_ell_bf16_features_close_to_f32(synth_dataset):
+    """bf16-feature ELL SpMM (half the gather bytes — the bandwidth
+    lever of VERDICT r4 item 3) accumulates in f32 and must stay within
+    bf16 storage rounding of the f32 result."""
+    ds = synth_dataset
+    ell = ds.adj_norm_ell()
+    x = ds.feat
+    out32 = np.asarray(ell.matmul(x))
+    out16 = np.asarray(ell.matmul(x.astype(jnp.bfloat16)))
+    assert out16.dtype == np.float32        # f32 accumulation/output
+    np.testing.assert_allclose(out16, out32, rtol=2e-2, atol=2e-2)
+    # relative error bounded by input rounding (~2^-8), not degree
+    denom = np.maximum(np.abs(out32), 1e-3)
+    assert np.median(np.abs(out16 - out32) / denom) < 5e-3
+
+
 def test_ell_in_model_forward(synth_dataset):
     from graphslim_tpu import models as M
     ds = synth_dataset
