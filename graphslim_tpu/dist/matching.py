@@ -61,8 +61,11 @@ def build_sharded_match(engine, mesh: Mesh, axis: str = "data",
     coeffs = jnp.asarray(coeffs)
 
     from graphslim_tpu.reduce.cond_base import match_loss, masked_nll
-    from graphslim_tpu.kernels.sample import neighbor_sample_block
+    from graphslim_tpu.kernels.sample import (neighbor_sample_block,
+                                              sampling_key)
     from graphslim_tpu.dist.gather import sharded_row_gather_local
+
+    sample_tables = getattr(engine, "sample_tables", None)
 
     B = engine.batch
     fanouts = engine.fanouts
@@ -100,7 +103,8 @@ def build_sharded_match(engine, mesh: Mesh, axis: str = "data",
             valid = (slot < count) | (count > B)
             block = neighbor_sample_block(
                 k2, adj_off.indptr, adj_off.col,
-                adj_off.values_or_ones(), self_vals, targets, fanouts)
+                adj_off.values_or_ones(), self_vals, targets, fanouts,
+                tables=sample_tables)
             if feature_mode == "sharded":
                 # devices scan padded classes in lockstep, so the two
                 # collectives inside the gather stay aligned
@@ -139,7 +143,7 @@ def build_sharded_match(engine, mesh: Mesh, axis: str = "data",
         out_specs=P())
 
     def match(model_params, feat_syn, adj_syn_norm, key):
-        keys = jax.random.split(key, Cp)
+        keys = jax.random.split(sampling_key(key), Cp)
         return smapped(model_params, feat_syn, adj_syn_norm, keys, pools,
                        counts, masks, coeffs, features)
 
