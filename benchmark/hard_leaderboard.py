@@ -64,14 +64,15 @@ CONVERGED = {
 RATE = 0.5
 
 
-def _run_one(method: str, q, rate: float) -> None:
+def _run_one(method: str, q, rate: float, platform: str = "cpu") -> None:
     global RATE
     RATE = rate
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if platform != "default":
+        jax.config.update("jax_platforms", platform)
     from graphslim_tpu.config import Args, finalize
     from graphslim_tpu.data import load
     from graphslim_tpu.eval import Evaluator
@@ -100,13 +101,16 @@ def main():
     ap.add_argument("--methods", default=",".join(CONVERGED))
     ap.add_argument("--timeout", type=int, default=2400)
     ap.add_argument("--rate", type=float, default=0.5)
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform for workers ('default' = no pin)")
     args = ap.parse_args()
 
     rows = []
     ctx = mp.get_context("spawn")
     for m in args.methods.split(","):
         q = ctx.Queue()
-        p = ctx.Process(target=_run_one, args=(m, q, args.rate))
+        p = ctx.Process(target=_run_one, args=(m, q, args.rate,
+                                               args.platform))
         t0 = time.time()
         p.start()
         p.join(args.timeout)
