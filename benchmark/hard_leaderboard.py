@@ -58,6 +58,21 @@ CONVERGED = {
                  min_start_epoch=0, beta=0.01),
     "gecc": dict(),
     "mirage": dict(),
+    # High-precision variants: TPU lowers f32 matmuls to bf16 multiplies
+    # by default; nested-grad structure learning is precision-sensitive
+    # (gcond measured 0.558 default vs 0.696 highest at epochs=300).
+    "gcond_hp": dict(method="gcond", epochs=300, run_inter_eval=1,
+                     eval_epochs=300, matmul_precision="highest"),
+    "gcond_long_hp": dict(method="gcond", epochs=600, run_inter_eval=1,
+                          eval_epochs=300, matmul_precision="highest"),
+    "sgdd_hp": dict(method="sgdd", epochs=200, outer_loop=8,
+                    inner_loop=1, opt_scale=1e-11, mx_size=100,
+                    lr_feat=0.01, condense_model="SGC",
+                    matmul_precision="highest"),
+    "simgc_hp": dict(method="simgc", epochs=300, lr_teacher=0.01,
+                     threshold=0.05, matmul_precision="highest"),
+    "gcsntk_hp": dict(method="gcsntk", epochs=60,
+                      matmul_precision="highest"),
 }
 
 
@@ -78,22 +93,23 @@ def _run_one(method: str, q, rate: float, platform: str = "cpu") -> None:
     from graphslim_tpu.eval import Evaluator
     from graphslim_tpu.reduce import create_reducer
 
+    label = method
     try:
         base = dict(dataset="synth-hard", method=method,
                     save_path="/tmp/gs_hard_lb", reduction_rate=rate,
                     eval_epochs=300, run_eval=3, run_inter_eval=1)
         base.update(CONVERGED.get(method, {}))
-        method = base["method"]
+        method = base["method"]   # variant entries ('gcond_long') alias
         args = finalize(Args(**base), explicit=set(base))
         data = load("synth-hard", setting=args.setting, split=args.split,
                     seed=args.seed)
         t0 = time.time()
         reduced = create_reducer(method, data, args).reduce(data)
         (mean, std), _ = Evaluator(data, args).evaluate(reduced, "GCN")
-        q.put((method, "pass", time.time() - t0, float(mean), float(std)))
+        q.put((label, "pass", time.time() - t0, float(mean), float(std)))
     except Exception:
         traceback.print_exc()
-        q.put((method, "FAIL", 0.0, 0.0, 0.0))
+        q.put((label, "FAIL", 0.0, 0.0, 0.0))
 
 
 def main():
@@ -108,19 +124,26 @@ def main():
     rows = []
     ctx = mp.get_context("spawn")
     for m in args.methods.split(","):
-        q = ctx.Queue()
-        p = ctx.Process(target=_run_one, args=(m, q, args.rate,
-                                               args.platform))
-        t0 = time.time()
-        p.start()
-        p.join(args.timeout)
-        if p.is_alive():
-            p.terminate()
-            p.join()
-            rows.append((m, "TIMEOUT", float(args.timeout), 0.0, 0.0))
-        else:
-            rows.append(q.get() if not q.empty()
-                        else (m, "CRASH", time.time() - t0, 0.0, 0.0))
+        # one retry: the tunneled-TPU backend occasionally drops a
+        # remote_compile mid-run (INTERNAL, not a code failure)
+        for attempt in range(2):
+            q = ctx.Queue()
+            p = ctx.Process(target=_run_one, args=(m, q, args.rate,
+                                                   args.platform))
+            t0 = time.time()
+            p.start()
+            p.join(args.timeout)
+            if p.is_alive():
+                p.terminate()
+                p.join()
+                row = (m, "TIMEOUT", float(args.timeout), 0.0, 0.0)
+            else:
+                row = (q.get() if not q.empty()
+                       else (m, "CRASH", time.time() - t0, 0.0, 0.0))
+            if row[1] == "pass" or attempt == 1:
+                break
+            print(f"{m:12s} {row[1]:8s} — retrying once", flush=True)
+        rows.append(row)
         name, status, dt, acc, std = rows[-1]
         print(f"{name:12s} {status:8s} {dt:8.1f}s  acc={acc:.3f}"
               f"±{std:.3f}", flush=True)

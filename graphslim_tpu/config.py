@@ -144,6 +144,13 @@ class Args:
     eval_whole: bool = False
     # --- distributed ----------------------------------------------------
     dist_devices: int = 0   # >1: shard gradient matching over a mesh
+    # --- numerics -------------------------------------------------------
+    # Matmul precision for reduce(): None = backend default (TPU lowers
+    # f32 matmuls to bf16 multiplies).  Nested-grad condensation with a
+    # learned structure generator (gcond/sgdd/simgc at small n_syn) is
+    # precision-sensitive: measured +0.14 accuracy at identical budget
+    # with 'highest' on the synth-hard leaderboard (docs/PERF.md r5).
+    matmul_precision: Optional[str] = None   # 'highest'|'high'|'default'
     # --- profiling ------------------------------------------------------
     profile: bool = False   # capture a jax.profiler trace of reduce()
     resume: bool = False    # resume condensation from its last state ckpt

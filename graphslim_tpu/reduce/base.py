@@ -67,8 +67,16 @@ class Reducer:
                ) -> G.Reduced:
         data = data if data is not None else self.data
         t0 = time.perf_counter()
-        reduced = self._reduce(data, verbose)
         import jax
+        prec = getattr(self.args, "matmul_precision", None)
+        if prec:
+            # trace-time override: jitted fns first compiled inside this
+            # scope bake the requested precision into every matmul that
+            # does not set one explicitly (TPU default is bf16 multiply)
+            with jax.default_matmul_precision(prec):
+                reduced = self._reduce(data, verbose)
+        else:
+            reduced = self._reduce(data, verbose)
         jax.block_until_ready(reduced.feat)
         dt = time.perf_counter() - t0
         # verbose_time_memory analog (reference evaluation/utils.py:115-175)

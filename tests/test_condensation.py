@@ -115,3 +115,15 @@ def test_gcond_labels_budget(tmp_path, synth_dataset):
     labels = np.asarray(red.labels)
     # every class represented
     assert set(np.unique(labels)) == set(range(ds.nclass))
+
+
+def test_matmul_precision_knob(tmp_path, synth_dataset):
+    """args.matmul_precision='highest' wraps reduce() in
+    jax.default_matmul_precision — the TPU-quality knob for nested-grad
+    structure learning (docs/PERF.md round 5: gcond 0.558 -> 0.696 at
+    identical budget on the hard-twin leaderboard).  On CPU this is
+    numerics-neutral; the test pins that the knob threads through
+    Args -> Reducer.reduce -> jit tracing without error."""
+    red, acc = _run("gcondx", synth_dataset, tmp_path, epochs=1,
+                    outer_loop=1, matmul_precision="highest")
+    assert np.isfinite(acc) and red.feat.shape[0] > 0
