@@ -19,6 +19,19 @@ from graphslim_tpu.reduce.gcond import GCond
 
 class SGDD(GCond):
     def __init__(self, data, args):
+        # The spectral-OT regularizer differentiates an SVD/eigh of the
+        # generated adjacency.  At the TPU default matmul precision
+        # (bf16 multiplies) the adjacency entering the decomposition is
+        # degraded enough to crash the on-device eigensolver
+        # (reproduced twice: "TPU worker process crashed", paper cora
+        # config on the hard twin; survives with opt_scale=0 or at
+        # HIGHEST — docs/PERF.md round 5).  Quality also needs f32:
+        # 0.775±0.014 at HIGHEST vs 0.391 at a default-precision mid
+        # budget.  Default the knob on TPU unless the user set one.
+        if (getattr(args, "matmul_precision", None) is None
+                and args.opt_scale > 0
+                and jax.default_backend() == "tpu"):
+            args = args.replace(matmul_precision="highest")
         super().__init__(data, args)
         mx_size = min(args.mx_size, data.n_nodes)
         self.pge = IGNR(IGNRConfig(

@@ -127,3 +127,27 @@ def test_matmul_precision_knob(tmp_path, synth_dataset):
     red, acc = _run("gcondx", synth_dataset, tmp_path, epochs=1,
                     outer_loop=1, matmul_precision="highest")
     assert np.isfinite(acc) and red.feat.shape[0] > 0
+
+
+def test_sgdd_tpu_precision_default(tmp_path, synth_dataset, monkeypatch):
+    """On a TPU backend SGDD defaults matmul_precision to 'highest' —
+    the default bf16-multiply lowering both crashes the on-device
+    eigensolver behind its spectral-OT loss and costs ~0.4 accuracy
+    (docs/PERF.md round 5).  An explicit user setting wins."""
+    import jax as _jax
+
+    from graphslim_tpu.reduce.sgdd import SGDD
+
+    base = dict(dataset="synth-small", method="sgdd",
+                save_path=str(tmp_path), epochs=2, outer_loop=1,
+                inner_loop=1, condense_model="SGC")
+    args = finalize(Args(**base), explicit=set(base))
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    eng = SGDD(synth_dataset, args)
+    assert eng.args.matmul_precision == "highest"
+    # explicit setting respected
+    args2 = args.replace(matmul_precision="default")
+    assert SGDD(synth_dataset, args2).args.matmul_precision == "default"
+    # opt_scale=0 disables the decomposition path -> no override
+    args3 = args.replace(opt_scale=0.0)
+    assert SGDD(synth_dataset, args3).args.matmul_precision is None
