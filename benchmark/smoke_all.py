@@ -91,7 +91,10 @@ HARD_EXEMPT = {
     # SimGC's features start from NOISE and get no updates at all
     # (inversion needs hundreds of feat steps; 0.245 even at epochs=30
     # on synth-hard).  Converged behavior is pinned by
-    # tests/test_accuracy_gap.py and test_condensation_extended.py.
+    # tests/test_accuracy_gap.py / test_condensation_extended.py and —
+    # round 5 — by benchmark/hard_leaderboard.py: every condensation
+    # method at converged/paper budget on the real chip vs the
+    # random-coreset floor (EFFICIENCY.md leaderboard table).
 }
 
 
