@@ -148,3 +148,22 @@ def test_save_reference_layout_roundtrip(tmp_path):
     back2 = compat.load_reference_reduced(str(tmp_path), "gcondx",
                                           "cora", 0.5)
     np.testing.assert_allclose(np.asarray(back2.adj), np.eye(6))
+
+
+def test_reddit_dist_artifact_loads():
+    """The committed round-5 distributed-condensation output (8-device
+    mesh over the 44M-edge reddit twin, docs/PERF.md) stays loadable
+    through the artifact reader."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(os.path.dirname(__file__), "..", "benchmark",
+                        "artifacts", "reddit_dist_gcondx_r0.001.npz")
+    data = np.load(path, allow_pickle=False)
+    assert data["feat"].shape == (186, 602)
+    assert data["labels"].shape == (186,)
+    assert str(data["adj_kind"]) == "identity"
+    assert np.isfinite(data["feat"]).all()
+    # labels must cover many of reddit's 41 classes (r=0.001 budgets)
+    assert len(np.unique(data["labels"])) >= 30
